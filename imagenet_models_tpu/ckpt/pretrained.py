@@ -1,0 +1,58 @@
+"""Pretrained-weight loading: reference .pth.tar -> Flax variables.
+
+Model files register their torch-key translation rules here so
+`create_model(name, pretrained=True/checkpoint_path=...)` and validate.py's
+`--checkpoint` can ingest reference checkpoints (numerical interchangeability
+requirement, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from imagenet_models_tpu.ckpt.torch_convert import (
+    RuleTranslator,
+    convert_torch_state_dict,
+    load_torch_checkpoint,
+)
+
+# model-name glob -> (rules, drop)
+_TORCH_RULES: Dict[str, Tuple[Sequence, Sequence]] = {}
+
+
+def register_torch_rules(pattern: str, rules: Sequence, drop: Sequence = ()) -> None:
+    _TORCH_RULES[pattern] = (list(rules), list(drop))
+
+
+def translator_for(model_name: str) -> RuleTranslator:
+    for pattern, (rules, drop) in _TORCH_RULES.items():
+        if fnmatch.fnmatch(model_name, pattern):
+            return RuleTranslator(rules, drop=drop)
+    raise KeyError(f"no torch conversion rules registered for {model_name}")
+
+
+def load_variables_from_torch(
+    model_name: str,
+    variables: Dict[str, Any],
+    checkpoint_path: str,
+    use_ema: bool = False,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    sd = load_torch_checkpoint(checkpoint_path, use_ema=use_ema)
+    return convert_torch_state_dict(sd, variables, translator_for(model_name), strict=strict)
+
+
+def load_pretrained(model, model_name: str, checkpoint_path: str = ""):
+    """Attach a pending checkpoint path to the module for init-time loading.
+
+    JAX separates module construction from parameter initialisation, so
+    "pretrained" is realised when the caller initialises variables; we record
+    the request on the module object.
+    """
+    if not checkpoint_path:
+        raise ValueError(
+            f"pretrained weights for {model_name} require --checkpoint/-cp with a local "
+            ".pth.tar (this environment has no network egress)")
+    object.__setattr__(model, "_pending_checkpoint", (model_name, checkpoint_path))
+    return model

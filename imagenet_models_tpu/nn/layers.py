@@ -1,0 +1,325 @@
+"""Common NN building blocks, TPU-first (NHWC, channels-last token layout).
+
+These are original Flax implementations of the layer semantics used by the
+reference models (cited per class); layouts and groupings are re-designed for
+XLA/TPU: grouped 1x1 convolutions become grouped einsum denses that map
+directly onto the MXU, and all spatial ops run in NHWC (the TPU-native
+layout), unlike the reference's NCHW + permute dance.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch nn.GELU defaults to the exact erf formulation; flax defaults to tanh
+# approximation. Exact is required for checkpoint-level numerical parity.
+gelu = partial(jax.nn.gelu, approximate=False)
+
+
+def trunc_normal_init(std: float = 0.02):
+    """timm trunc_normal_(std=.02) analogue (cut at +-2, effectively normal)."""
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0 / std, upper=2.0 / std)
+
+
+class Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x, *args, **kwargs):
+        return x
+
+
+class Dense(nn.Dense):
+    """nn.Dense with timm-style default init (trunc normal 0.02, zero bias)."""
+
+    kernel_init: Callable = trunc_normal_init()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng=None) -> jnp.ndarray:
+    """Stochastic depth per sample (reference: timm DropPath used throughout,
+    e.g. /root/reference/GA/ga_convnext.py:96)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        return drop_path(x, self.rate, deterministic=False, rng=rng)
+
+
+class LayerNorm(nn.LayerNorm):
+    """LayerNorm over the trailing (channel) axis, eps matching torch models (1e-6)."""
+
+    epsilon: float = 1e-6
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over all axes but the last, torch-compatible semantics.
+
+    torch BatchNorm2d: eps 1e-5, running stats with momentum 0.1 (new = 0.9*old
+    + 0.1*batch), affine. Uses the 'batch_stats' collection. If `axis_name` is
+    set and we are in training mode, batch statistics are psum-averaged across
+    that mesh axis (SyncBN, reference --sync-bn /root/reference/GA/train.py:448-459).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((features,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = math.prod([x.shape[i] for i in axes])
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                # torch tracks the *unbiased* variance in running stats.
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+
+        dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(dtype)
+
+
+class Mlp(nn.Module):
+    """Token MLP: fc1 -> act -> drop -> fc2 -> drop
+    (reference: /root/reference/MAP/models/map.py:9-28)."""
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    act: Callable = gelu
+    drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_f = x.shape[-1]
+        hidden = self.hidden_features or in_f
+        out = self.out_features or in_f
+        x = Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = Dense(out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Channel shuffle on the trailing axis.
+
+    torch variant operates on NCHW by splitting C into (C//g, g) and swapping
+    (/root/reference/MAP/models/map.py:31-40); identical index permutation here
+    on the channels-last axis.
+    """
+    *lead, c = x.shape
+    assert c % groups == 0
+    x = x.reshape(*lead, c // groups, groups)
+    x = jnp.swapaxes(x, -1, -2)
+    return x.reshape(*lead, c)
+
+
+class GroupedDense(nn.Module):
+    """Grouped pointwise projection == torch grouped 1x1 Conv2d, as one einsum.
+
+    Input (..., in_features); group g of the input maps to group g of the
+    output (torch grouped-conv semantics). Runs as a single batched matmul on
+    the MXU instead of a grouped convolution.
+    """
+
+    features: int
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Callable = trunc_normal_init()
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        g = self.groups
+        assert in_f % g == 0 and self.features % g == 0, (in_f, self.features, g)
+        kernel = self.param("kernel", self.kernel_init, (g, in_f // g, self.features // g), jnp.float32)
+        dtype = self.dtype or x.dtype
+        lead = x.shape[:-1]
+        xg = x.reshape(*lead, g, in_f // g)
+        y = jnp.einsum("...gi,gio->...go", xg.astype(dtype), kernel.astype(dtype))
+        y = y.reshape(*lead, self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class GroupConvMlp(nn.Module):
+    """Grouped-MLP over tokens with a channel shuffle between the two layers.
+
+    Reference: /root/reference/MAP/models/map.py:43-66 (and the GA twin at
+    /root/reference/GA/ga_convnext.py:190-222). The torch version routes
+    (B, N, C) tokens through grouped 1x1 convs on (B, C, N, 1); here both
+    layers are grouped einsum denses, channels-last.
+    """
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    act: Callable = nn.relu
+    drop: float = 0.0
+    groups: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_f = x.shape[-1]
+        hidden = self.hidden_features or in_f
+        out = self.out_features or in_f
+        x = GroupedDense(hidden, groups=self.groups, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = channel_shuffle(x, self.groups)
+        x = GroupedDense(out, groups=self.groups, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class ConvNormAct(nn.Module):
+    """Conv (no bias) + BatchNorm + activation
+    (reference: /root/reference/MAP/models/map.py:281-288)."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: Any = 0
+    groups: int = 1
+    act: Optional[Callable] = nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(),
+            name="conv",
+        )(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, use_running_average=use_running_average)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class SEUnit(nn.Module):
+    """Squeeze-excitation: GAP -> conv1x1+BN+act -> conv1x1 -> sigmoid -> scale
+    (reference: /root/reference/MAP/models/map_resnet.py:33-42)."""
+
+    reduction: int = 16
+    act: Callable = gelu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = ConvNormAct(c // self.reduction, 1, act=self.act, dtype=self.dtype, name="fc1")(
+            s, use_running_average=use_running_average)
+        s = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,
+                    kernel_init=trunc_normal_init(), name="fc2")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch F.adaptive_avg_pool2d semantics in NHWC.
+
+    Bin i covers [floor(i*in/out), ceil((i+1)*in/out)). When in % out == 0 this
+    is a plain uniform average pool, which XLA lowers to a reduce-window.
+    """
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if h == oh and w == ow:
+        return x
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        x = x.reshape(b, oh, kh, ow, kw, c)
+        return x.mean(axis=(2, 4))
+    # General case: matmul with the (sparse) averaging matrix per axis.
+    def pool_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+        m = jnp.zeros((n_out, n_in), jnp.float32)
+        for i in range(n_out):
+            lo = (i * n_in) // n_out
+            hi = -(-((i + 1) * n_in) // n_out)
+            m = m.at[i, lo:hi].set(1.0 / (hi - lo))
+        return m
+
+    mh = pool_matrix(h, oh).astype(x.dtype)
+    mw = pool_matrix(w, ow).astype(x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    x = jnp.einsum("ow,bhwc->bhoc", mw, x)
+    return x
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize, NHWC, half-pixel centers, NO antialiasing — exactly
+    torch F.interpolate(mode='bilinear', align_corners=False). Note torch
+    never antialiases here, even when downsampling."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    return jax.image.resize(x, (b, oh, ow, c), method="bilinear", antialias=False).astype(x.dtype)
+
+
+def scale_features(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Reference MultiScale resize rule (/root/reference/MAP/models/map.py:326-330).
+
+    Counter-intuitive but load-bearing for checkpoint parity: features
+    *smaller* than the target are upsampled with adaptive_avg_pool2d (which
+    for out>in duplicates rows/cols), features *larger* than the target are
+    downsampled with plain bilinear interpolation (no antialias).
+    """
+    h = x.shape[1]
+    if h < out_hw[0]:
+        return adaptive_avg_pool(x, out_hw)
+    if h > out_hw[0]:
+        return resize_bilinear(x, out_hw)
+    return x

@@ -1,0 +1,65 @@
+"""Standard ViT transformer block (timm-compatible semantics, channels-last).
+
+Matches timm's `vision_transformer.Block` as consumed by the reference PiT
+(/root/reference/MAP/models/map_pit.py:34-45): pre-LN, fused-qkv MHSA,
+GELU MLP, per-branch drop-path. Attention math runs softmax in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from imagenet_models_tpu.nn.layers import Dense, DropPath, LayerNorm, Mlp, gelu
+
+Dtype = Any
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        qkv = Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (d ** -0.5), k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        dp = DropPath(self.drop_path)
+        a = Attention(self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                      attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+                      name="attn")(LayerNorm(name="norm1")(x), deterministic=deterministic)
+        x = x + dp(a, deterministic=deterministic)
+        m = Mlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu, drop=self.drop,
+                dtype=self.dtype, name="mlp")(LayerNorm(name="norm2")(x),
+                                              deterministic=deterministic)
+        return x + dp(m, deterministic=deterministic)
