@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Headline benchmark: map_convnext_tiny 224 images/sec on one TPU chip.
+
+Baseline: the reference's published speed for ConvNeXt-T+MAP is 1665 img/s on
+an RTX 3090 (MAP/README.MD §2 table; the repo publishes no A100 numbers).
+We report eval (inference) throughput per chip against that number, and train
+throughput as a secondary metric in the same JSON line.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/1665, ...}
+"""
+
+import json
+import sys
+import time
+
+BASELINE_3090_EVAL = 1665.0  # MAP/README.MD §2: ConvNeXt-T+MAP img/s on RTX 3090
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import imagenet_models_tpu.models  # noqa: F401
+    from imagenet_models_tpu import create_model
+    from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+    from imagenet_models_tpu.train.losses import create_loss_fn
+    from imagenet_models_tpu.train.optim import create_optimizer
+    from imagenet_models_tpu.train.state import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    dev = jax.devices()[0]
+    mesh = data_mesh([dev])
+    model = create_model("map_convnext_tiny", dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    eval_bs = 256
+    train_bs = 128
+
+    x1 = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, training=False)
+
+    # ---- eval throughput ----
+    from imagenet_models_tpu.train.state import TrainState
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}), opt_state=())
+    state = replicate(state, mesh)
+    eval_step = make_eval_step(model, mesh=mesh)
+    images = jnp.asarray(rng.standard_normal((eval_bs, 224, 224, 3)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 1000, (eval_bs,)))
+    images, targets = shard_batch((images, targets), mesh)
+    # warmup (compile); NOTE: on the tunneled device block_until_ready does
+    # not reliably block, so a host fetch (device_get of a scalar) is the
+    # sync point for all timing below.
+    _ = float(np.asarray(eval_step(state, images, targets)[1]).sum())
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_step(state, images, targets)
+    _ = float(np.asarray(out[1]).sum())
+    eval_ips = eval_bs * iters / (time.perf_counter() - t0)
+
+    # ---- train throughput ----
+    tx = create_optimizer("lamb", learning_rate=5e-3, weight_decay=0.05)
+    tstate = replicate(create_train_state(variables, tx, ema_decay=0.9999), mesh)
+    loss_fn = create_loss_fn(bce_loss=True, smoothing=0.1, mixup_active=True)
+    step = make_train_step(model, tx, loss_fn, dec_lam=-0.8, ema_decay=0.9999,
+                           grad_accum=1, mesh=mesh)
+    timg = jnp.asarray(rng.standard_normal((train_bs, 224, 224, 3)), jnp.float32)
+    ttgt = jnp.asarray(rng.random((train_bs, 1000)), jnp.float32)
+    timg, ttgt = shard_batch((timg, ttgt), mesh)
+    tstate, m = step(tstate, timg, ttgt, jax.random.PRNGKey(0))
+    _ = float(np.asarray(m["loss"]))
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        tstate, m = step(tstate, timg, ttgt, jax.random.PRNGKey(i))
+    _ = float(np.asarray(m["loss"]))
+    train_ips = train_bs * iters / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "map_convnext_tiny 224 eval images/sec/chip (bf16)",
+        "value": round(eval_ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(eval_ips / BASELINE_3090_EVAL, 4),
+        "train_images_per_sec_per_chip": round(train_ips, 2),
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Checkpoint saver/resume with timm CheckpointSaver semantics on orbax
+(reference: /root/reference/GA/train.py:649-653,690-693 — model+optimizer+EMA
++epoch+args, best-metric tracking, bounded history, recovery snapshots;
+resume restores optimizer state and epoch, GA/train.py:488-493).
+
+Also exports reference-compatible .pth.tar via the torch converter, so
+checkpoints remain interchangeable with the PyTorch stack (BASELINE.md)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_logger = logging.getLogger("imagenet_models_tpu")
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointSaver:
+    def __init__(self, checkpoint_dir: str, max_history: int = 10,
+                 decreasing: bool = False, args_text: str = ""):
+        self.dir = os.path.abspath(checkpoint_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.max_history = max_history
+        self.decreasing = decreasing
+        self.best_metric: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+        self._ckpt = ocp.PyTreeCheckpointer()
+        if args_text:
+            with open(os.path.join(self.dir, "args.yaml"), "w") as f:
+                f.write(args_text)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def _save(self, state, epoch: int, name: str, metric: Optional[float] = None):
+        path = self._path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, _to_host(state))
+        meta = {"epoch": epoch, "metric": metric}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def save_checkpoint(self, state, epoch: int, metric: Optional[float] = None
+                        ) -> Tuple[Optional[float], Optional[int]]:
+        self._save(state, epoch, f"checkpoint-{epoch}", metric)
+        self._save(state, epoch, "last", metric)
+        # prune history
+        ckpts = sorted(glob.glob(self._path("checkpoint-*")),
+                       key=lambda p: int(p.rsplit("-", 1)[1]))
+        while len(ckpts) > self.max_history:
+            shutil.rmtree(ckpts.pop(0))
+        if metric is not None:
+            better = (self.best_metric is None or
+                      (metric < self.best_metric if self.decreasing else metric > self.best_metric))
+            if better:
+                self.best_metric, self.best_epoch = metric, epoch
+                best = self._path("model_best")
+                if os.path.exists(best):
+                    shutil.rmtree(best)
+                shutil.copytree(self._path(f"checkpoint-{epoch}"), best)
+        return self.best_metric, self.best_epoch
+
+    def save_recovery(self, state, epoch: int, batch_idx: int):
+        self._save(state, epoch, "recovery", None)
+
+    def restore(self, name: str, target) -> Tuple[Any, int]:
+        path = self._path(name)
+        state = self._ckpt.restore(path, item=_to_host(target))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return state, int(meta.get("epoch", -1))
+
+
+def resume_checkpoint(path: str, target) -> Tuple[Any, int]:
+    """Resume from a saved orbax dir (last/recovery/checkpoint-N)."""
+    ckpt = ocp.PyTreeCheckpointer()
+    state = ckpt.restore(os.path.abspath(path), item=_to_host(target))
+    meta_path = os.path.join(path, "meta.json")
+    epoch = -1
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            epoch = int(json.load(f).get("epoch", -1))
+    return state, epoch
+
+
+def export_pth_tar(variables: Dict[str, Any], model_name: str, out_path: str,
+                   use_ema: bool = False):
+    """Write a reference-compatible .pth.tar from flax variables."""
+    import torch
+
+    from imagenet_models_tpu.ckpt.pretrained import translator_for
+    from imagenet_models_tpu.ckpt.torch_convert import export_torch_state_dict
+
+    # invert the forward rules by round-trip: build reverse map from the
+    # model's own torch key list is not available here, so we export with an
+    # identity-ish back-translation (flax path -> torch dotted path) that each
+    # model's forward rules were designed to be invertible over.
+    from imagenet_models_tpu.ckpt.reverse_rules import reverse_translator
+
+    translate_back = reverse_translator(model_name)
+    sd = export_torch_state_dict(variables, translate_back)
+    torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}}, out_path)
+    _logger.info("exported %d tensors to %s", len(sd), out_path)

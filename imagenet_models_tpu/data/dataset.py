@@ -1,0 +1,85 @@
+"""Datasets: ImageFolder (ImageNet layout) and a synthetic generator.
+
+Replaces the reference's timm create_dataset (/root/reference/GA/train.py:532).
+Decode happens lazily in loader worker threads (fused decode+augment on host,
+the TPU analog of the reference's DataLoader workers + CUDA prefetcher).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class ImageFolder:
+    """ImageNet-style directory: root/<class>/<image>."""
+
+    def __init__(self, root: str, class_map: Optional[dict] = None):
+        self.root = root
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        if not classes:
+            raise FileNotFoundError(f"no class directories under {root}")
+        self.classes = classes
+        self.class_to_idx = class_map or {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(IMG_EXTENSIONS):
+                    self.samples.append((os.path.join(cdir, fname), self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load(self, index: int) -> Tuple[Image.Image, int]:
+        path, label = self.samples[index]
+        with Image.open(path) as img:
+            return img.convert("RGB"), label
+
+    @property
+    def filenames(self):
+        return [p for p, _ in self.samples]
+
+
+class SyntheticDataset:
+    """Deterministic random images — benchmarking / smoke training without
+    ImageNet on disk."""
+
+    def __init__(self, length: int = 10000, num_classes: int = 1000,
+                 image_size: int = 224):
+        self.length, self.num_classes, self.image_size = length, num_classes, image_size
+
+    def __len__(self):
+        return self.length
+
+    def load(self, index: int) -> Tuple[Image.Image, int]:
+        rng = np.random.default_rng(index)
+        arr = rng.integers(0, 256, (self.image_size, self.image_size, 3), dtype=np.uint8)
+        return Image.fromarray(arr, "RGB"), int(index % self.num_classes)
+
+
+def create_dataset(name_or_root: str, split: str = "train",
+                   num_classes: int = 1000, image_size: int = 224):
+    if name_or_root.startswith(("synthetic", "fake")):
+        length = 10000
+        if ":" in name_or_root:
+            length = int(name_or_root.split(":", 1)[1])
+        return SyntheticDataset(length=length, num_classes=num_classes,
+                                image_size=image_size)
+    candidates = [os.path.join(name_or_root, split)]
+    if split == "validation":
+        candidates.append(os.path.join(name_or_root, "val"))
+    candidates.append(name_or_root)
+    for c in candidates:
+        if os.path.isdir(c):
+            try:
+                return ImageFolder(c)
+            except FileNotFoundError:
+                continue
+    raise FileNotFoundError(f"no dataset at {name_or_root} (split {split})")

@@ -1,0 +1,122 @@
+"""Host-side image transforms matching timm's train/eval pipelines.
+
+Reference delegates to timm create_loader (/root/reference/GA/train.py:567-610):
+train = RandomResizedCrop(bicubic) + hflip + RandAugment + normalize +
+RandomErasing; eval = resize(shorter side / crop_pct, bicubic) + center crop +
+normalize. Implemented with PIL on the host (decode+aug fused per worker
+thread), producing NHWC float32.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+_PIL_INTERP = {
+    "bilinear": Image.BILINEAR,
+    "bicubic": Image.BICUBIC,
+    "nearest": Image.NEAREST,
+    "lanczos": Image.LANCZOS,
+}
+
+
+def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                        interpolation="bicubic") -> Image.Image:
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            i = rng.randint(0, h - ch)
+            j = rng.randint(0, w - cw)
+            img = img.crop((j, i, j + cw, i + ch))
+            return img.resize((size, size), _PIL_INTERP[interpolation])
+    # fallback: center crop
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    i, j = (h - ch) // 2, (w - cw) // 2
+    return img.crop((j, i, j + cw, i + ch)).resize((size, size), _PIL_INTERP[interpolation])
+
+
+def resize_center_crop(img: Image.Image, size: int, crop_pct: float = 0.875,
+                       interpolation="bicubic") -> Image.Image:
+    scale_size = int(math.floor(size / crop_pct))
+    w, h = img.size
+    if w < h:
+        ow, oh = scale_size, int(scale_size * h / w)
+    else:
+        ow, oh = int(scale_size * w / h), scale_size
+    img = img.resize((ow, oh), _PIL_INTERP[interpolation])
+    left, top = (ow - size) // 2, (oh - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def to_float_chw_last(img: Image.Image, mean=IMAGENET_DEFAULT_MEAN,
+                      std=IMAGENET_DEFAULT_STD) -> np.ndarray:
+    a = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    a = (a - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return a  # HWC
+
+
+class TrainTransform:
+    def __init__(self, size: int = 224, interpolation: str = "bicubic",
+                 hflip: float = 0.5, auto_augment: Optional[str] = None,
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
+                 reprob: float = 0.0, remode: str = "pixel", recount: int = 1,
+                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+        self.size, self.interpolation = size, interpolation
+        self.hflip, self.mean, self.std = hflip, mean, std
+        self.scale, self.ratio = scale, ratio
+        self.aa = None
+        if auto_augment:
+            from imagenet_models_tpu.data.auto_augment import rand_augment_transform
+
+            self.aa = rand_augment_transform(auto_augment)
+        self.erase = None
+        if reprob > 0:
+            from imagenet_models_tpu.data.random_erasing import RandomErasing
+
+            self.erase = RandomErasing(reprob, mode=remode, count=recount)
+
+    def __call__(self, img: Image.Image, rng: random.Random) -> np.ndarray:
+        interp = self.interpolation
+        if interp == "random":
+            interp = rng.choice(["bilinear", "bicubic"])
+        img = random_resized_crop(img, self.size, rng, self.scale, self.ratio, interp)
+        if self.hflip and rng.random() < self.hflip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if self.aa is not None:
+            img = self.aa(img, rng)
+        a = to_float_chw_last(img, self.mean, self.std)
+        if self.erase is not None:
+            a = self.erase(a, rng)
+        return a
+
+
+class EvalTransform:
+    def __init__(self, size: int = 224, crop_pct: float = 0.875,
+                 interpolation: str = "bicubic",
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
+        self.size, self.crop_pct = size, crop_pct
+        self.interpolation, self.mean, self.std = interpolation, mean, std
+
+    def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
+        img = resize_center_crop(img, self.size, self.crop_pct, self.interpolation)
+        return to_float_chw_last(img, self.mean, self.std)

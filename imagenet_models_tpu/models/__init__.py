@@ -20,7 +20,7 @@ try:
 except ImportError:
     pass
 try:
-    from imagenet_models_tpu.models import cswin  # noqa: F401
+    from imagenet_models_tpu.models import ga_cswin  # noqa: F401
 except ImportError:
     pass
 try:

@@ -1,0 +1,50 @@
+"""Device-mesh utilities: the TPU-native replacement for the reference's
+torch.distributed/NCCL/DDP plumbing (/root/reference/GA/train.py:374-381,505-515).
+
+Data parallelism is expressed as a 1-D `jax.sharding.Mesh` over axis 'data';
+the train step runs under `shard_map` with explicit `lax.pmean` gradient
+reduction (the DDP-allreduce analog, riding ICI), and the input pipeline
+shards the global batch over the same axis. Multi-host extends transparently:
+`jax.distributed.initialize()` + the same mesh over all devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host init (DCN rendezvous), analogous to init_process_group."""
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place host arrays on the mesh, batch-dim sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

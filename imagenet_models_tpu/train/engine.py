@@ -1,0 +1,120 @@
+"""Training/eval engine: the host loop around the jitted SPMD steps.
+
+Reproduces the reference loop behaviour (/root/reference/GA/train.py:701-890,
+/root/reference/MAP/train.py:842-1047): phase meters (data/forward+backward),
+NaN watchdog, recovery checkpoints, throughput logging — restructured for TPU:
+the whole fwd+bwd+update is ONE jitted step; the host overlaps the next
+batch's decode/augment with device compute via async dispatch (we only block
+on the loss at log intervals, so steps pipeline back-to-back).
+
+The NaN watchdog (MAP/train.py:886-891) is preserved but amortized: losses
+are fetched asynchronously and checked at log-interval granularity instead of
+forcing a device sync every step.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from collections import OrderedDict
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from imagenet_models_tpu.parallel.mesh import shard_batch
+from imagenet_models_tpu.utils.meters import AverageMeter
+
+_logger = logging.getLogger("imagenet_models_tpu")
+
+
+class NaNWatchdog(Exception):
+    pass
+
+
+def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
+                    log_interval: int = 50, saver=None, recovery_interval: int = 0,
+                    lr_fn: Optional[Callable] = None, mixup_off: bool = False,
+                    steps_per_epoch: Optional[int] = None):
+    if mixup_off and getattr(loader, "mixup_enabled", False):
+        loader.mixup_enabled = False
+
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    losses = AverageMeter()
+    pending = []  # (batch_idx, metrics) awaiting async fetch
+
+    spe = steps_per_epoch or len(loader)
+    end = time.time()
+    last_idx = len(loader) - 1
+    for batch_idx, (images, targets) in enumerate(loader):
+        data_time.update(time.time() - end)
+        n = images.shape[0]
+        images, targets = shard_batch((images, targets), mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(state, images, targets, step_rng)
+        pending.append((batch_idx, metrics, n))
+
+        if batch_idx % log_interval == 0 or batch_idx == last_idx:
+            # drain async metrics; NaN watchdog here (amortized device sync)
+            for bi, m, bn in pending:
+                loss = float(m["loss"])
+                if math.isnan(loss) or math.isinf(loss):
+                    _logger.error("nan/inf loss at epoch %d batch %d", epoch, bi)
+                    raise NaNWatchdog(f"epoch {epoch} batch {bi}")
+                losses.update(loss, bn)
+            pending.clear()
+            batch_time.update((time.time() - end) if batch_idx else (time.time() - end))
+            rate = n / max(batch_time.val, 1e-9)
+            lr_now = float(lr_fn(epoch + batch_idx / spe)) if lr_fn else float("nan")
+            _logger.info(
+                "Train: %d [%4d/%d (%3.0f%%)]  Loss: %.4g (%.3g)  "
+                "Time: %.3fs, %7.2f/s  LR: %.3e  Data: %.3f (%.3f)",
+                epoch, batch_idx, len(loader), 100.0 * batch_idx / max(last_idx, 1),
+                losses.val, losses.avg, batch_time.val, rate, lr_now,
+                data_time.val, data_time.avg)
+
+        if saver is not None and recovery_interval and (
+                batch_idx == last_idx or (batch_idx + 1) % recovery_interval == 0):
+            saver.save_recovery(state, epoch, batch_idx)
+
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+    return state, rng, OrderedDict([("loss", losses.avg)])
+
+
+def validate(state, eval_step, loader, mesh, log_interval: int = 50,
+             log_suffix: str = ""):
+    """Top-1/top-5 over the loader; multi-head logits are averaged inside the
+    eval step (reference: MAP/validate.py:275-279)."""
+    batch_time = AverageMeter()
+    top1 = AverageMeter()
+    top5 = AverageMeter()
+
+    end = time.time()
+    last_idx = len(loader) - 1
+    for batch_idx, (images, targets) in enumerate(loader):
+        n = images.shape[0]
+        pad = 0
+        want = getattr(loader, "batch_size", n)
+        if n < want:  # static shapes: pad the tail batch, mask in the metric
+            pad = want - n
+            images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+            targets = np.concatenate([targets, np.full((pad,), -1, targets.dtype)])
+        images, targets = shard_batch((images, targets), mesh)
+        _, c1, c5 = eval_step(state, images, targets)
+        c1, c5 = np.asarray(c1), np.asarray(c5)
+        if pad:
+            c1, c5 = c1[:n], c5[:n]
+        top1.update(float(c1.mean()) * 100.0, n)
+        top5.update(float(c5.mean()) * 100.0, n)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if batch_idx % log_interval == 0 or batch_idx == last_idx:
+            _logger.info("Test%s: [%4d/%d]  Time: %.3f (%.3f)  Acc@1: %.3f (%.3f)  Acc@5: %.3f (%.3f)",
+                         log_suffix, batch_idx, len(loader), batch_time.val,
+                         batch_time.avg, top1.val, top1.avg, top5.val, top5.avg)
+
+    return OrderedDict([("top1", top1.avg), ("top5", top5.avg)])

@@ -1,0 +1,69 @@
+"""Optimizer factory (optax) mirroring timm create_optimizer_v2 behaviour
+(/root/reference/GA/train.py:466, MAP recipes use lamb/adamw).
+
+Weight decay is masked off for 1-D parameters and biases (timm param-group
+rule) — in our pytrees that means: any leaf of rank <= 1 except conv/dense
+kernels (which are never rank <= 1), i.e. biases, norm scales, layer-scale
+gammas; plus learned tokens (x_cls, pos_embed) which timm excludes via
+model.no_weight_decay().
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def wd_mask(params) -> Any:
+    """True where weight decay applies."""
+    def leaf_mask(path, p):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if p.ndim <= 1:
+            return False
+        if name in ("x_cls", "pos_embed"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def create_optimizer(
+    opt: str = "lamb",
+    learning_rate: Any = 1e-3,
+    weight_decay: float = 0.0,
+    eps: float = 1e-8,
+    betas=(0.9, 0.999),
+    momentum: float = 0.9,
+    clip_grad: Optional[float] = None,
+    clip_mode: str = "norm",
+) -> optax.GradientTransformation:
+    opt = opt.lower()
+    mask = wd_mask
+    if opt == "lamb":
+        tx = optax.lamb(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                        weight_decay=weight_decay, mask=mask)
+    elif opt == "adamw":
+        tx = optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                         weight_decay=weight_decay, mask=mask)
+    elif opt in ("sgd", "momentum"):
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=mask),
+            optax.sgd(learning_rate, momentum=momentum, nesterov=True),
+        )
+    elif opt == "adam":
+        tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+    else:
+        raise ValueError(f"unknown optimizer {opt}")
+
+    if clip_grad is not None:
+        if clip_mode == "norm":
+            clip = optax.clip_by_global_norm(clip_grad)
+        elif clip_mode == "value":
+            clip = optax.clip(clip_grad)
+        else:  # 'agc' adaptive gradient clipping
+            clip = optax.adaptive_grad_clip(clip_grad)
+        tx = optax.chain(clip, tx)
+    return tx

@@ -1,0 +1,179 @@
+"""Train state + SPMD train/eval steps.
+
+The DDP training loop of the reference (/root/reference/GA/train.py:701-823,
+MAP/train.py:842-977) maps onto a single jitted SPMD step:
+
+- params/opt_state/EMA replicated over the mesh, batch sharded on 'data'
+- gradient accumulation (`--grad-accumulation`, GA/train.py:750-758) becomes
+  a lax.scan over microbatch chunks *inside* the step — one optimizer update
+  per step, identical math, zero Python overhead
+- the DDP bucketed allreduce becomes one `lax.pmean` over 'data' (ICI)
+- BatchNorm batch stats are pmean-synced every update (a strictly stronger
+  version of the reference's per-epoch `--dist-bn reduce`, GA/train.py:665-668;
+  stats tensors are tiny so the collective is noise)
+- EMA (ModelEmaV2, decay 0.9999) updates params+batch_stats after the
+  optimizer step
+- bf16 compute happens inside the model (dtype policy); no loss scaling is
+  needed on TPU (replaces the reference's AMP GradScaler)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from imagenet_models_tpu.parallel.mesh import DATA_AXIS
+from imagenet_models_tpu.train.losses import multi_head_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None
+    ema_batch_stats: Any = None
+
+
+def create_train_state(variables, tx: optax.GradientTransformation,
+                       ema_decay: float = 0.0) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if ema_decay else None,
+        ema_batch_stats=jax.tree.map(jnp.copy, batch_stats) if ema_decay else None,
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    base_loss: Callable,
+    dec_lam: float = 0.0,
+    ema_decay: float = 0.0,
+    grad_accum: int = 1,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted SPMD train step.
+
+    Returns step(state, images, targets, rng) -> (state, metrics). images are
+    the *global* batch (grad_accum * global_microbatch, H, W, C), sharded on
+    axis 0 over the mesh.
+    """
+
+    def loss_fn(params, batch_stats, images, targets, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, mutated = model.apply(
+            variables, images, training=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        if isinstance(out, (tuple, list)):
+            loss = multi_head_loss(out, targets, base_loss, dec_lam)
+        else:
+            loss = base_loss(out, targets)
+        return loss, mutated.get("batch_stats", {})
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def local_step(state: TrainState, images, targets, rng):
+        # per-shard microbatching
+        b = images.shape[0]
+        mb = b // grad_accum
+        images = images.reshape(grad_accum, mb, *images.shape[1:])
+        targets = targets.reshape(grad_accum, mb, *targets.shape[1:])
+        rngs = jax.random.split(rng, grad_accum)
+
+        def micro(carry, xs):
+            gsum, _, bstats = carry
+            im, tg, r = xs
+            (loss, new_bs), grads = grad_fn(state.params, bstats, im, tg, r)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (gsum, loss, new_bs if new_bs else bstats), loss
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (gsum, _, batch_stats), losses = jax.lax.scan(
+            micro, (zero_grads, 0.0, state.batch_stats), (images, targets, rngs))
+        grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+        loss = losses.mean()
+
+        # cross-replica reductions (the DDP allreduce analog)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        if batch_stats:
+            batch_stats = jax.lax.pmean(batch_stats, DATA_AXIS)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params, ema_bs = state.ema_params, state.ema_batch_stats
+        if ema_decay and ema_params is not None:
+            d = ema_decay
+            ema_params = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema_params, params)
+            if ema_bs is not None and batch_stats:
+                ema_bs = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema_bs, batch_stats)
+
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats, opt_state=opt_state,
+                                  ema_params=ema_params, ema_batch_stats=ema_bs)
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    if mesh is None:
+        # a 1-device mesh makes the named axis available uniformly
+        from imagenet_models_tpu.parallel.mesh import data_mesh
+
+        mesh = data_mesh(jax.devices()[:1])
+
+    sharded = shard_map(
+        lambda st, im, tg, r: local_step(st, im, tg, jax.random.fold_in(
+            r, jax.lax.axis_index(DATA_AXIS))),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False):
+    """Eval step: forward, average multi-head logits (the reference's
+    mean-over-heads, /root/reference/MAP/validate.py:275-279), return top1/5
+    correctness flags per example."""
+
+    def fwd(params, batch_stats, images, targets):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, images, training=False)
+        if isinstance(out, (tuple, list)):
+            logits = sum(o.astype(jnp.float32) for o in out) / len(out)
+        else:
+            logits = out.astype(jnp.float32)
+        top5 = jax.lax.top_k(logits, 5)[1]
+        correct1 = (top5[:, 0] == targets).astype(jnp.float32)
+        correct5 = (top5 == targets[:, None]).any(axis=1).astype(jnp.float32)
+        return logits, correct1, correct5
+
+    def step(state: TrainState, images, targets):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        bs = state.ema_batch_stats if (use_ema and state.ema_batch_stats is not None) else state.batch_stats
+        return fwd(params, bs, images, targets)
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(NamedSharding(mesh, P()),
+                                       NamedSharding(mesh, P(DATA_AXIS)),
+                                       NamedSharding(mesh, P(DATA_AXIS))),
+                   out_shardings=NamedSharding(mesh, P(DATA_AXIS)))

@@ -1,0 +1,85 @@
+"""Host data pipeline tests: transforms, RandAugment, mixup/cutmix targets,
+random erasing, loader scheduling (repeat-aug), determinism."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imagenet_models_tpu.data.auto_augment import rand_augment_transform
+from imagenet_models_tpu.data.dataset import SyntheticDataset, create_dataset
+from imagenet_models_tpu.data.loader import DataLoader, create_loader, epoch_indices
+from imagenet_models_tpu.data.mixup import Mixup
+from imagenet_models_tpu.data.random_erasing import RandomErasing
+from imagenet_models_tpu.data.transforms import EvalTransform, TrainTransform
+
+import random
+
+
+def test_train_transform_shape_and_determinism():
+    tf = TrainTransform(64, auto_augment="rand-m9-mstd0.5-inc1", reprob=0.25)
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 256, (100, 80, 3), dtype=np.uint8))
+    a = tf(img, random.Random(7))
+    b = tf(img, random.Random(7))
+    c = tf(img, random.Random(8))
+    assert a.shape == (64, 64, 3) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_eval_transform_crop_pct():
+    tf = EvalTransform(224, crop_pct=0.875)
+    img = Image.fromarray(np.zeros((300, 400, 3), dtype=np.uint8))
+    assert tf(img).shape == (224, 224, 3)
+
+
+def test_randaugment_all_ops_run():
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    from imagenet_models_tpu.data.auto_augment import _RAND_INCREASING
+
+    rng = random.Random(0)
+    for op in _RAND_INCREASING:
+        out = op(img, 9.0, rng)
+        assert out.size == img.size
+
+
+def test_mixup_targets_sum_to_one():
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, label_smoothing=0.1, num_classes=10)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    targets = rng.integers(0, 10, (8,))
+    for _ in range(5):
+        mi, mt = mix(images, targets, rng)
+        assert mi.shape == images.shape and mt.shape == (8, 10)
+        np.testing.assert_allclose(mt.sum(-1), 1.0, atol=1e-5)
+
+
+def test_random_erasing_pixel_mode():
+    re_ = RandomErasing(probability=1.0, mode="pixel")
+    img = np.zeros((64, 64, 3), np.float32)
+    out = re_(img, random.Random(3))
+    assert (out != 0).any() and out.shape == img.shape
+    assert (img == 0).all()  # input not mutated
+
+
+def test_repeat_aug_indices():
+    idx = epoch_indices(12, epoch=0, seed=0, shuffle=True, repeats=3)
+    assert len(idx) == 12
+    vals, counts = np.unique(idx, return_counts=True)
+    assert len(vals) == 4 and (counts == 3).all()
+
+
+def test_loader_end_to_end_synthetic():
+    ds = SyntheticDataset(length=20, num_classes=5, image_size=48)
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, label_smoothing=0.1, num_classes=5)
+    loader = create_loader(ds, 32, 8, is_training=True, auto_augment="rand-m9-mstd0.5-inc1",
+                           reprob=0.25, mixup_fn=mix, num_workers=2, repeats=0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2  # drop_last
+    for images, targets in batches:
+        assert images.shape == (8, 32, 32, 3)
+        assert targets.shape == (8, 5)  # soft targets from mixup
+    # eval loader keeps the tail batch and integer targets
+    ev = create_loader(ds, 48, 8, is_training=False)
+    evb = list(ev)
+    assert len(evb) == 3 and evb[-1][0].shape[0] == 4
+    assert evb[0][1].dtype == np.int64

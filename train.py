@@ -1,0 +1,363 @@
+#!/usr/bin/env python3
+"""ImageNet training CLI — the reference's timm-style train.py surface
+(/root/reference/GA/train.py:69-309 + MAP extras /root/reference/MAP/train.py:74-329)
+on the TPU-native stack.
+
+Differences from the reference, by design:
+- one host process drives ALL local devices (SPMD over a jax Mesh) instead of
+  one process per GPU; `--batch-size` stays per-device, `-tb/--total-batch-size`
+  keeps its meaning and grad-accumulation is derived identically
+  (MAP/train.py:406): accum = tb / (b * n_devices)
+- `--amp` selects bf16 compute (no loss scaling needed on TPU)
+- `--channels-last`, `--pin-mem`, `--no-prefetcher` are accepted no-ops
+  (NHWC + async dispatch are native here)
+"""
+
+import argparse
+import logging
+import math
+import os
+import time
+from datetime import datetime
+
+import yaml
+
+_logger = logging.getLogger("train")
+
+config_parser = argparse.ArgumentParser(description="Training Config", add_help=False)
+config_parser.add_argument("-c", "--config", default="", type=str, metavar="FILE",
+                           help="YAML config file overriding argparse defaults")
+
+parser = argparse.ArgumentParser(description="ImageNet training (TPU-native)")
+# Dataset / model
+parser.add_argument("data_dir", metavar="DIR", help="path to dataset (or 'synthetic')")
+parser.add_argument("--dataset", "-d", default="", type=str)
+parser.add_argument("--train-split", default="train", type=str)
+parser.add_argument("--val-split", default="validation", type=str)
+parser.add_argument("--model", default="ga_convnext_tiny", type=str)
+parser.add_argument("--pretrained", action="store_true", default=False)
+parser.add_argument("--initial-checkpoint", default="", type=str,
+                    help=".pth.tar (torch) or orbax dir to load weights from")
+parser.add_argument("--resume", default="", type=str,
+                    help="orbax checkpoint dir to resume full state from")
+parser.add_argument("--no-resume-opt", action="store_true", default=False)
+parser.add_argument("--num-classes", type=int, default=None)
+parser.add_argument("--img-size", type=int, default=None)
+parser.add_argument("--input-size", default=None, nargs=3, type=int,
+                    metavar="N N N", help="C H W (torch order, kept for CLI parity)")
+parser.add_argument("--test-input-size", default=None, nargs=3, type=int)
+parser.add_argument("--crop-pct", default=None, type=float)
+parser.add_argument("--mean", type=float, nargs="+", default=None)
+parser.add_argument("--std", type=float, nargs="+", default=None)
+parser.add_argument("--interpolation", default="", type=str)
+parser.add_argument("-b", "--batch-size", type=int, default=128,
+                    help="per-device microbatch size")
+parser.add_argument("-tb", "--total-batch-size", type=int, default=None,
+                    help="effective global batch per optimizer update")
+parser.add_argument("-vb", "--validation-batch-size", type=int, default=None)
+# Optimizer
+parser.add_argument("--opt", default="lamb", type=str)
+parser.add_argument("--opt-eps", default=1e-8, type=float)
+parser.add_argument("--opt-betas", default=None, type=float, nargs="+")
+parser.add_argument("--momentum", type=float, default=0.9)
+parser.add_argument("--weight-decay", type=float, default=0.05)
+parser.add_argument("--clip-grad", type=float, default=None)
+parser.add_argument("--clip-mode", type=str, default="norm")
+# LR schedule
+parser.add_argument("--sched", default="cosine", type=str)
+parser.add_argument("--lr", type=float, default=5e-3)
+parser.add_argument("--warmup-lr", type=float, default=1e-6)
+parser.add_argument("--min-lr", type=float, default=1e-5)
+parser.add_argument("--epochs", type=int, default=300)
+parser.add_argument("--warmup-epochs", type=int, default=5)
+parser.add_argument("--cooldown-epochs", type=int, default=10)
+parser.add_argument("--decay-epochs", type=float, default=100)
+parser.add_argument("--decay-rate", "--dr", type=float, default=0.1)
+# Augmentation & regularization
+parser.add_argument("--no-aug", action="store_true", default=False)
+parser.add_argument("--scale", type=float, nargs="+", default=[0.08, 1.0])
+parser.add_argument("--ratio", type=float, nargs="+", default=[3. / 4., 4. / 3.])
+parser.add_argument("--hflip", type=float, default=0.5)
+parser.add_argument("--vflip", type=float, default=0.0)
+parser.add_argument("--color-jitter", type=float, default=0.4)
+parser.add_argument("--aa", type=str, default=None, help="rand augment spec, e.g. rand-m9-mstd0.5-inc1")
+parser.add_argument("--smoothing", type=float, default=0.1)
+parser.add_argument("--bce-loss", action="store_true", default=False)
+parser.add_argument("--bce-target-thresh", type=float, default=None)
+parser.add_argument("--jsd-loss", action="store_true", default=False)
+parser.add_argument("--train-interpolation", type=str, default="random")
+parser.add_argument("--reprob", type=float, default=0.0)
+parser.add_argument("--remode", type=str, default="pixel")
+parser.add_argument("--recount", type=int, default=1)
+parser.add_argument("--mixup", type=float, default=0.0)
+parser.add_argument("--cutmix", type=float, default=0.0)
+parser.add_argument("--cutmix-minmax", type=float, nargs="+", default=None)
+parser.add_argument("--mixup-prob", type=float, default=1.0)
+parser.add_argument("--mixup-switch-prob", type=float, default=0.5)
+parser.add_argument("--mixup-mode", type=str, default="batch")
+parser.add_argument("--mixup-off-epoch", default=0, type=int)
+parser.add_argument("--aug-repeats", "--aug-repeat", type=int, default=0)
+parser.add_argument("--drop", type=float, default=0.0)
+parser.add_argument("--drop-connect", type=float, default=None)
+parser.add_argument("--drop-path", type=float, default=None)
+parser.add_argument("--drop-block", type=float, default=None)
+# Multi-head losses (GA + MAP)
+parser.add_argument("--GA_lam", "--ga-lam", dest="GA_lam", type=float, default=None,
+                    help="GA decorrelation lambda (GA/train.py:735-745)")
+parser.add_argument("--dec-lam", type=float, default=-0.8,
+                    help="MAP cross-group decorrelation lambda (MAP/train.py:823-837)")
+parser.add_argument("--distill-tokens", type=int, default=0)
+parser.add_argument("--token-distillation", type=int, default=1)
+# EMA
+parser.add_argument("--model-ema", action="store_true", default=False)
+parser.add_argument("--model-ema-decay", type=float, default=0.9999)
+parser.add_argument("--model-ema-force-cpu", action="store_true", default=False)
+# Misc
+parser.add_argument("--seed", type=int, default=42)
+parser.add_argument("--worker-seeding", type=str, default="all")
+parser.add_argument("--log-interval", type=int, default=50)
+parser.add_argument("--recovery-interval", type=int, default=0)
+parser.add_argument("--checkpoint-hist", type=int, default=10)
+parser.add_argument("-j", "--workers", type=int, default=4)
+parser.add_argument("--grad-accumulation", type=int, default=None,
+                    help="explicit grad accumulation (GA-style flag); derived from -tb if unset")
+parser.add_argument("--amp", action="store_true", default=False,
+                    help="bf16 compute on TPU")
+parser.add_argument("--channels-last", action="store_true", default=False)
+parser.add_argument("--pin-mem", action="store_true", default=False)
+parser.add_argument("--no-prefetcher", action="store_true", default=False)
+parser.add_argument("--output", default="", type=str)
+parser.add_argument("--experiment", default="", type=str)
+parser.add_argument("--project-name", default="imagenet_models_tpu", type=str)
+parser.add_argument("--eval-metric", default="top1", type=str)
+parser.add_argument("--log-wandb", action="store_true", default=False)
+parser.add_argument("--save-images", action="store_true", default=False)
+parser.add_argument("--sync-bn", action="store_true", default=False,
+                    help="accepted; batch stats are psum-synced every step regardless")
+parser.add_argument("--dist-bn", type=str, default="reduce")
+parser.add_argument("--early-stop", type=int, default=None)
+parser.add_argument("--eval-epoch", type=int, default=1)
+parser.add_argument("--dis_eval", action="store_true", default=False)
+parser.add_argument("--torchcompile", nargs="?", type=str, default=None, const="inductor",
+                    help="accepted no-op: everything is jax.jit compiled")
+parser.add_argument("--n-devices", type=int, default=None,
+                    help="limit the mesh to the first N local devices")
+parser.add_argument("--max-steps-per-epoch", type=int, default=None,
+                    help="truncate epochs (smoke runs)")
+
+
+def _parse_args(args_list=None):
+    args_config, remaining = config_parser.parse_known_args(args_list)
+    if args_config.config:
+        with open(args_config.config) as f:
+            cfg = yaml.safe_load(f)
+        parser.set_defaults(**cfg)
+    args = parser.parse_args(remaining if args_list is None else remaining)
+    args_text = yaml.safe_dump(args.__dict__, default_flow_style=False)
+    return args, args_text
+
+
+def run(args, args_text: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import imagenet_models_tpu.models  # noqa: F401  (register zoo)
+    from imagenet_models_tpu import create_model
+    from imagenet_models_tpu.core.registry import default_cfg
+    from imagenet_models_tpu.ckpt.pretrained import load_variables_from_torch
+    from imagenet_models_tpu.ckpt.saver import CheckpointSaver, resume_checkpoint
+    from imagenet_models_tpu.data.dataset import create_dataset
+    from imagenet_models_tpu.data.loader import create_loader
+    from imagenet_models_tpu.data.mixup import Mixup
+    from imagenet_models_tpu.parallel.mesh import data_mesh, replicate
+    from imagenet_models_tpu.train.engine import NaNWatchdog, train_one_epoch, validate
+    from imagenet_models_tpu.train.losses import create_loss_fn
+    from imagenet_models_tpu.train.optim import create_optimizer
+    from imagenet_models_tpu.train.scheduler import create_scheduler
+    from imagenet_models_tpu.train.state import create_train_state, make_eval_step, make_train_step
+    from imagenet_models_tpu.utils.meters import setup_default_logging, update_summary
+    from imagenet_models_tpu.core.setup import jit_init, setup_jax
+
+    setup_default_logging()
+    setup_jax()
+    devices = jax.devices()
+    if args.n_devices:
+        devices = devices[: args.n_devices]
+    mesh = data_mesh(devices)
+    n_dev = len(devices)
+    _logger.info("Training SPMD over %d %s device(s)", n_dev, devices[0].platform)
+
+    cfg = default_cfg(args.model)
+    num_classes = args.num_classes or cfg["num_classes"]
+    input_size = (args.input_size[1] if args.input_size else (args.img_size or cfg["input_size"][0]))
+    test_size = args.test_input_size[1] if args.test_input_size else input_size
+    crop_pct = args.crop_pct or cfg["crop_pct"]
+    interpolation = args.interpolation or cfg["interpolation"]
+    mean = tuple(args.mean) if args.mean else cfg["mean"]
+    std = tuple(args.std) if args.std else cfg["std"]
+
+    dtype = jnp.bfloat16 if args.amp else None
+    model = create_model(args.model, num_classes=num_classes,
+                         drop_rate=args.drop, drop_path_rate=args.drop_path, dtype=dtype)
+
+    # batch geometry (MAP/train.py:406 semantics; world == n_devices)
+    per_dev = args.batch_size
+    if args.grad_accumulation:
+        grad_accum = args.grad_accumulation
+    elif args.total_batch_size:
+        grad_accum = max(1, args.total_batch_size // (per_dev * n_dev))
+    else:
+        grad_accum = 1
+    global_batch = per_dev * n_dev * grad_accum
+    _logger.info("global batch %d = %d/dev x %d dev x %d accum",
+                 global_batch, per_dev, n_dev, grad_accum)
+
+    # data
+    dataset_train = create_dataset(args.data_dir, args.train_split,
+                                   num_classes=num_classes, image_size=input_size)
+    dataset_eval = create_dataset(args.data_dir, args.val_split,
+                                  num_classes=num_classes, image_size=test_size)
+    mixup_active = args.mixup > 0 or args.cutmix > 0
+    mixup_fn = None
+    if mixup_active:
+        mixup_fn = Mixup(mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+                         prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+                         label_smoothing=args.smoothing, num_classes=num_classes)
+    loader_train = create_loader(
+        dataset_train, input_size, global_batch, is_training=True,
+        interpolation=args.train_interpolation or interpolation,
+        mean=mean, std=std, auto_augment=args.aa, hflip=args.hflip,
+        reprob=args.reprob, remode=args.remode, recount=args.recount,
+        scale=tuple(args.scale), ratio=tuple(args.ratio), mixup_fn=mixup_fn,
+        num_workers=args.workers, seed=args.seed, repeats=args.aug_repeats)
+    eval_batch = args.validation_batch_size or per_dev * n_dev
+    eval_batch = max(n_dev, eval_batch // n_dev * n_dev)
+    loader_eval = create_loader(dataset_eval, test_size, eval_batch,
+                                is_training=False, interpolation=interpolation,
+                                crop_pct=crop_pct, mean=mean, std=std,
+                                num_workers=args.workers, seed=args.seed)
+
+    # init
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    variables = jit_init(model, init_rng, x0, training=False)
+    if args.initial_checkpoint:
+        if args.initial_checkpoint.endswith((".pth", ".pth.tar", ".pt")):
+            variables = load_variables_from_torch(args.model, variables, args.initial_checkpoint)
+        else:
+            restored, _ = resume_checkpoint(args.initial_checkpoint, variables)
+            variables = restored
+        _logger.info("loaded initial checkpoint %s", args.initial_checkpoint)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    _logger.info("Model %s created, param count: %d", args.model, n_params)
+
+    # optimizer + schedule
+    steps_per_epoch = len(loader_train)
+    lr_fn = create_scheduler(args.sched, base_lr=args.lr, epochs=args.epochs,
+                             warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
+                             min_lr=args.min_lr, decay_epochs=args.decay_epochs,
+                             decay_rate=args.decay_rate)
+    betas = tuple(args.opt_betas) if args.opt_betas else (0.9, 0.999)
+    tx = create_optimizer(args.opt, learning_rate=lambda s: lr_fn(s // max(steps_per_epoch, 1)),
+                          weight_decay=args.weight_decay, eps=args.opt_eps, betas=betas,
+                          momentum=args.momentum, clip_grad=args.clip_grad,
+                          clip_mode=args.clip_mode)
+
+    ema_decay = args.model_ema_decay if args.model_ema else 0.0
+    state = create_train_state(variables, tx, ema_decay=ema_decay)
+    start_epoch = 0
+    if args.resume:
+        state, last_epoch = resume_checkpoint(args.resume, state)
+        start_epoch = last_epoch + 1
+        _logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
+    state = replicate(state, mesh)
+
+    base_loss = create_loss_fn(bce_loss=args.bce_loss, smoothing=args.smoothing,
+                               bce_target_thresh=args.bce_target_thresh,
+                               mixup_active=mixup_active)
+    dec_lam = args.GA_lam if args.GA_lam is not None else args.dec_lam
+    step_fn = make_train_step(model, tx, base_loss, dec_lam=dec_lam,
+                              ema_decay=ema_decay, grad_accum=grad_accum, mesh=mesh)
+    eval_step = make_eval_step(model, mesh=mesh)
+    eval_step_ema = make_eval_step(model, mesh=mesh, use_ema=True) if ema_decay else None
+
+    # output dir + saver
+    run_name = args.experiment or "-".join([
+        datetime.now().strftime("%Y%m%d-%H%M%S"), args.model, str(input_size)])
+    output_dir = os.path.join(args.output or "./output/train", run_name)
+    saver = CheckpointSaver(output_dir, max_history=args.checkpoint_hist,
+                            decreasing=args.eval_metric == "loss", args_text=args_text)
+    _logger.info("output dir: %s", output_dir)
+
+    best_metric, best_epoch = None, None
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            loader_train.set_epoch(epoch)
+            mixup_off = bool(args.mixup_off_epoch and epoch >= args.mixup_off_epoch)
+            state, rng, train_metrics = train_one_epoch(
+                epoch, state, step_fn, _truncate(loader_train, args.max_steps_per_epoch),
+                mesh, rng, log_interval=args.log_interval, saver=saver,
+                recovery_interval=args.recovery_interval, lr_fn=lr_fn,
+                mixup_off=mixup_off, steps_per_epoch=steps_per_epoch)
+
+            do_eval = not args.dis_eval and (epoch + 1) >= args.eval_epoch
+            eval_metrics = {"top1": 0.0, "top5": 0.0}
+            if do_eval:
+                loader_eval_t = _truncate(loader_eval, args.max_steps_per_epoch)
+                eval_metrics = validate(state, eval_step, loader_eval_t, mesh,
+                                        log_interval=args.log_interval)
+                if eval_step_ema is not None:
+                    ema_metrics = validate(state, eval_step_ema, loader_eval_t, mesh,
+                                           log_interval=args.log_interval, log_suffix=" (EMA)")
+                    eval_metrics = ema_metrics
+            update_summary(epoch, train_metrics, eval_metrics,
+                           os.path.join(output_dir, "summary.csv"),
+                           write_header=best_metric is None,
+                           lr=float(lr_fn(epoch)))
+            if do_eval:
+                best_metric, best_epoch = saver.save_checkpoint(
+                    state, epoch, metric=eval_metrics[args.eval_metric])
+            else:
+                saver.save_checkpoint(state, epoch)
+            if args.early_stop is not None and epoch == args.early_stop - 1 \
+                    and eval_metrics["top1"] < 72.8:
+                _logger.info("early stop: top1 %.2f < 72.8 at epoch %d",
+                             eval_metrics["top1"], epoch)
+                return
+    except NaNWatchdog as e:
+        _logger.error("NaN watchdog fired (%s); exiting for restart via --resume", e)
+        return
+    except KeyboardInterrupt:
+        pass
+    if best_metric is not None:
+        _logger.info("*** Best metric: %s (epoch %s)", best_metric, best_epoch)
+
+
+class _truncate:
+    """Wrap a loader to cap steps per epoch (smoke/bench runs)."""
+
+    def __init__(self, loader, max_steps):
+        self.loader, self.max_steps = loader, max_steps
+        self.batch_size = getattr(loader, "batch_size", None)
+        self.mixup_enabled = getattr(loader, "mixup_enabled", False)
+
+    def __len__(self):
+        n = len(self.loader)
+        return min(n, self.max_steps) if self.max_steps else n
+
+    def __iter__(self):
+        for i, b in enumerate(self.loader):
+            if self.max_steps and i >= self.max_steps:
+                return
+            yield b
+
+
+def main():
+    args, args_text = _parse_args()
+    run(args, args_text)
+
+
+if __name__ == "__main__":
+    main()
