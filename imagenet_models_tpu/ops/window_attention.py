@@ -1,0 +1,145 @@
+"""Block-window / dilated-grid attention (MaxViT-style), channels-last.
+
+Rebuild of the reference's vendored timm maxxvit attention machinery
+(/root/reference/MAP/models/map_maxvit.py:182-251 AttentionCl, :611-644
+window/grid partition, :647-655 rel-pos classes). Partitions are pure
+reshape/transposes; attention is batched over windows on the MXU with fp32
+softmax; the TF-style relative position bias table matches timm RelPosBiasTf
+(tf_ checkpoints use it; table shape (heads, 2H-1, 2W-1), zero-init).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from imagenet_models_tpu.nn.layers import Dense, LayerNorm
+
+Dtype = Any
+
+
+def window_partition(x: jnp.ndarray, ws: Tuple[int, int]) -> jnp.ndarray:
+    """Contiguous blocks: (B,H,W,C) -> (B*nW, wh, ww, C)
+    (map_maxvit.py:611-617)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws[0], ws[0], w // ws[1], ws[1], c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws[0], ws[1], c)
+
+
+def window_reverse(x: jnp.ndarray, ws: Tuple[int, int], hw: Tuple[int, int]) -> jnp.ndarray:
+    h, w = hw
+    c = x.shape[-1]
+    x = x.reshape(-1, h // ws[0], w // ws[1], ws[0], ws[1], c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, h, w, c)
+
+
+def grid_partition(x: jnp.ndarray, gs: Tuple[int, int]) -> jnp.ndarray:
+    """Dilated grid: (B,H,W,C) -> (B*nW, gh, gw, C) with stride H/gh
+    (map_maxvit.py:629-635)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, gs[0], h // gs[0], gs[1], w // gs[1], c)
+    return x.transpose(0, 2, 4, 1, 3, 5).reshape(-1, gs[0], gs[1], c)
+
+
+def grid_reverse(x: jnp.ndarray, gs: Tuple[int, int], hw: Tuple[int, int]) -> jnp.ndarray:
+    h, w = hw
+    c = x.shape[-1]
+    x = x.reshape(-1, h // gs[0], w // gs[1], gs[0], gs[1], c)
+    return x.transpose(0, 3, 1, 4, 2, 5).reshape(-1, h, w, c)
+
+
+def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
+    """Standard relative position index: (area, area) into a (2wh-1)*(2ww-1)
+    table."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)  # (area, area, 2)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # (area, area)
+
+
+class RelPosBiasTf(nn.Module):
+    """timm RelPosBiasTf: zero-init table of shape (heads, 2H-1, 2W-1)."""
+
+    window_size: Tuple[int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        wh, ww = self.window_size
+        table = self.param("relative_position_bias_table", nn.initializers.zeros_init(),
+                           (self.num_heads, 2 * wh - 1, 2 * ww - 1), jnp.float32)
+        idx = _rel_pos_index(wh, ww)
+        flat = table.reshape(self.num_heads, -1)
+        bias = flat[:, idx.reshape(-1)].reshape(self.num_heads, wh * ww, wh * ww)
+        return bias
+
+
+class RelPosBias(nn.Module):
+    """timm RelPosBias: trunc-normal table ((2H-1)*(2W-1)+extra, heads)."""
+
+    window_size: Tuple[int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        wh, ww = self.window_size
+        table = self.param("relative_position_bias_table",
+                           nn.initializers.truncated_normal(0.02),
+                           ((2 * wh - 1) * (2 * ww - 1), self.num_heads), jnp.float32)
+        idx = _rel_pos_index(wh, ww)
+        bias = table[idx.reshape(-1)].reshape(wh * ww, wh * ww, self.num_heads)
+        return bias.transpose(2, 0, 1)
+
+
+class AttentionCl(nn.Module):
+    """Channels-last MHSA over the trailing token grid, optional rel-pos bias
+    (map_maxvit.py:182-251). `head_first=False` layout semantics are only
+    relevant to the torch qkv weight ordering; we reshape identically so the
+    converter is a plain transpose."""
+
+    dim: int
+    dim_out: Optional[int] = None
+    dim_head: int = 32
+    bias: bool = True
+    rel_pos_type: Optional[str] = None  # None | 'bias' | 'bias_tf'
+    window_size: Optional[Tuple[int, int]] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        dim_out = self.dim_out or self.dim
+        dim_attn = dim_out if dim_out > self.dim else self.dim
+        nh = dim_attn // self.dim_head
+        d = self.dim_head
+        lead = x.shape[:-1]
+        b = x.shape[0]
+        n = int(np.prod(lead[1:]))
+
+        qkv = Dense(dim_attn * 3, use_bias=self.bias, dtype=self.dtype, name="qkv")(x)
+        # head_first=False ordering: (..., 3, heads, dim_head)
+        qkv = qkv.reshape(b, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (d ** -0.5), k)
+        if self.rel_pos_type == "bias_tf":
+            bias = RelPosBiasTf(self.window_size, nh, name="rel_pos")()
+            attn = attn + bias.astype(attn.dtype)
+        elif self.rel_pos_type == "bias":
+            bias = RelPosBias(self.window_size, nh, name="rel_pos")()
+            attn = attn + bias.astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(*lead, dim_attn)
+        out = Dense(dim_out, use_bias=self.bias, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

@@ -1,0 +1,53 @@
+"""Zoo-wide acceptance: golden param counts from the reference validate logs
+(MAP/README.MD §2 / paper tables) and output structure for every registered
+family. Runs on the CPU platform (init-only; no numerics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import imagenet_models_tpu.models  # noqa: F401
+from imagenet_models_tpu import create_model
+
+# (name, expected params in M, tolerance in M, n_heads_eval, init_hw)
+GOLDEN = [
+    ("map_mobilenet_v1", 4.88, 0.01, 1, 224),
+    ("map_resnet50", 42.71, 0.01, 4, 224),
+    ("map_pit_s", 36.15, 0.01, 2, 224),
+    ("map_convnext_tiny", 47.83, 0.01, 4, 224),
+    ("map_convnext_small", 82.84, 0.01, 4, 224),
+    ("map_maxvit_tiny_tf_224", 49.96, 0.01, 4, 224),
+    ("map_faster_vit_3_224", 187.34, 0.01, 5, 224),
+    # paper tables (rounded there, wider tolerance)
+    ("convnext_tiny", 28.59, 0.05, None, 224),
+    ("maxvit_tiny_tf_224", 30.92, 0.05, None, 224),
+    ("faster_vit_3_224", 159.55, 0.1, None, 224),
+    ("mobilenet_v1", 4.23, 0.05, None, 224),
+    # GA zoo: paper reports 48.7M for GA-ConvNeXt-T / 42.0M for GA-CSWin-T;
+    # factories are absent in the reference for cswin (reconstructed) and the
+    # convnext numbers match the 688-width variants to ~1M.
+    ("ga_convnext_tiny_688", 47.82, 0.1, 5, 224),
+    ("ga_cswin_tiny", 43.43, 0.2, 5, 224),
+]
+
+
+@pytest.fixture(scope="module")
+def cpu():
+    return jax.devices("cpu")[0]
+
+
+@pytest.mark.parametrize("name,expected,tol,heads,hw", GOLDEN)
+def test_param_count_and_heads(name, expected, tol, heads, hw, cpu):
+    with jax.default_device(cpu):
+        model = create_model(name)
+        x = jnp.zeros((1, hw, hw, 3), jnp.float32)
+        variables = jax.jit(lambda r, x: model.init(r, x, training=False))(
+            jax.random.PRNGKey(0), x)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+        assert abs(n / 1e6 - expected) <= tol, f"{name}: {n / 1e6:.3f}M vs {expected}M"
+        if heads is not None:
+            out = model.apply(variables, x, training=False)
+            assert isinstance(out, tuple) and len(out) == heads
+            assert all(o.shape == (1, 1000) for o in out)
