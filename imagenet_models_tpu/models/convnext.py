@@ -34,7 +34,11 @@ Dtype = Any
 
 class ConvNeXtBlock(nn.Module):
     """dw7x7 conv -> LN -> pw Dense(4x) -> GELU -> pw Dense -> layer-scale ->
-    drop-path + residual (reference: map_convnext.py:14-40)."""
+    drop-path + residual (reference: map_convnext.py:14-40).
+
+    The branch body runs as ONE fused Pallas kernel on TPU
+    (ops/convnext_block.py); the param tree matches the unfused layout, so
+    checkpoints are unaffected."""
 
     dim: int
     drop_path: float = 0.0
@@ -43,19 +47,32 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        shortcut = x
-        x = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
-                    dtype=self.dtype, kernel_init=trunc_normal_init(), name="dwconv")(x)
-        x = LayerNorm(name="norm")(x)
-        x = Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = gelu(x)
-        x = Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        from imagenet_models_tpu.nn.param_holder import ParamHolder
+        from imagenet_models_tpu.ops.convnext_block import convnext_block_apply
+
+        c = self.dim
+        zeros, ones = nn.initializers.zeros_init(), nn.initializers.ones_init()
+        dw = ParamHolder([("kernel", (7, 7, 1, c), trunc_normal_init()),
+                          ("bias", (c,), zeros)], name="dwconv")()
+        norm = ParamHolder([("scale", (c,), ones), ("bias", (c,), zeros)], name="norm")()
+        pw1 = ParamHolder([("kernel", (c, 4 * c), trunc_normal_init()),
+                           ("bias", (4 * c,), zeros)], name="pwconv1")()
+        pw2 = ParamHolder([("kernel", (4 * c, c), trunc_normal_init()),
+                           ("bias", (c,), zeros)], name="pwconv2")()
         if self.ls_init_value > 0:
             gamma = self.param("gamma", nn.initializers.constant(self.ls_init_value),
-                               (self.dim,), jnp.float32)
-            x = x * gamma.astype(x.dtype)
-        x = DropPath(self.drop_path)(x, deterministic=not training)
-        return shortcut + x
+                               (c,), jnp.float32)
+        else:
+            gamma = None
+        xc = x if self.dtype is None else x.astype(self.dtype)
+        # Pallas fusion for inference; training uses plain ops so XLA
+        # autodiff keeps its own residuals (remat-bwd measured slower)
+        branch = convnext_block_apply(
+            xc, dw["kernel"], dw["bias"], norm["scale"], norm["bias"],
+            pw1["kernel"], pw1["bias"], pw2["kernel"], pw2["bias"], gamma,
+            use_pallas=False if training else None)
+        branch = DropPath(self.drop_path)(branch, deterministic=not training)
+        return x + branch.astype(x.dtype)
 
 
 class ConvNeXt(nn.Module):
@@ -93,10 +110,10 @@ class ConvNeXt(nn.Module):
             if i == 0:
                 x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
                             kernel_init=trunc_normal_init(), name="downsample_layers_0_conv")(x)
-                x = LayerNorm(name="downsample_layers_0_norm")(x)
+                x = LayerNorm(dtype=self.dtype, name="downsample_layers_0_norm")(x)
                 features.append(x)
             else:
-                x = LayerNorm(name=f"downsample_layers_{i}_norm")(x)
+                x = LayerNorm(dtype=self.dtype, name=f"downsample_layers_{i}_norm")(x)
                 x = nn.Conv(self.dims[i], (2, 2), strides=(2, 2), dtype=self.dtype,
                             kernel_init=trunc_normal_init(), name=f"downsample_layers_{i}_conv")(x)
             for j in range(self.depths[i]):
@@ -119,7 +136,7 @@ class ConvNeXt(nn.Module):
             )
             return head(features, training=training)
         x = jnp.mean(x, axis=(1, 2))
-        x = LayerNorm(name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not training)
         return Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 

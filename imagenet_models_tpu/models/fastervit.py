@@ -242,12 +242,12 @@ class HAT(nn.Module):
                                 attn_drop=self.attn_drop, proj_drop=self.drop,
                                 resolution=ct_span, seq_length=ct_span * ct_span,
                                 dtype=self.dtype, name="hat_attn")(
-                LayerNorm(epsilon=1e-5, name="hat_norm1")(ct), deterministic=det)
+                LayerNorm(epsilon=1e-5, dtype=self.dtype, name="hat_norm1")(ct), deterministic=det)
             g1 = gamma("gamma1")
             ct = ct + dp(g1.astype(a.dtype) * a, deterministic=det)
             m = Mlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu, drop=self.drop,
                     dtype=self.dtype, name="hat_mlp")(
-                LayerNorm(epsilon=1e-5, name="hat_norm2")(ct), deterministic=det)
+                LayerNorm(epsilon=1e-5, dtype=self.dtype, name="hat_norm2")(ct), deterministic=det)
             ct = ct + dp(gamma("gamma2").astype(m.dtype) * m, deterministic=det)
             ct = ct_window(ct, ct_span, self.ct_size)
             ct = ct.reshape(x.shape[0], -1, self.dim)  # (B*nw, ct^2, C)
@@ -258,11 +258,11 @@ class HAT(nn.Module):
                             resolution=ws,
                             seq_length=n_win_tokens + (self.ct_size ** 2 if self.sr_ratio > 1 else 0),
                             dtype=self.dtype, name="attn")(
-            LayerNorm(epsilon=1e-5, name="norm1")(x), deterministic=det)
+            LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), deterministic=det)
         x = x + dp(gamma("gamma3").astype(a.dtype) * a, deterministic=det)
         m = Mlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu, drop=self.drop,
                 dtype=self.dtype, name="mlp")(
-            LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic=det)
+            LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic=det)
         x = x + dp(gamma("gamma4").astype(m.dtype) * m, deterministic=det)
 
         if self.sr_ratio > 1:
@@ -376,7 +376,7 @@ class FasterViT(nn.Module):
                                 name=f"levels_{i}_blocks_{j}")(t, ct, training=training)
                 x = window_reverse_tokens(t, ws, hh, ww_)
             if i < 3:
-                x = LayerNorm(name=f"levels_{i}_downsample_norm")(x)
+                x = LayerNorm(dtype=self.dtype, name=f"levels_{i}_downsample_norm")(x)
                 x = nn.Conv(dim_i * 2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                             use_bias=False, dtype=self.dtype, kernel_init=trunc_normal_init(),
                             name=f"levels_{i}_downsample_conv")(x)

@@ -50,16 +50,24 @@ class GABlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        shortcut = x
-        x = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
-                    dtype=self.dtype, kernel_init=trunc_normal_init(), name="conv_dw")(x)
-        x = LayerNorm(name="norm")(x)
-        x = Mlp(hidden_features=4 * self.dim, act=gelu, dtype=self.dtype, name="mlp")(x)
-        if self.ls_init_value > 0:
-            gamma = self.param("gamma", nn.initializers.constant(self.ls_init_value),
-                               (self.dim,), jnp.float32)
-            x = x * gamma.astype(x.dtype)
-        return DropPath(self.drop_path)(x, deterministic=not training) + shortcut
+        from imagenet_models_tpu.nn.param_holder import MlpParams, ParamHolder
+        from imagenet_models_tpu.ops.convnext_block import convnext_block_apply
+
+        c = self.dim
+        zeros, ones = nn.initializers.zeros_init(), nn.initializers.ones_init()
+        dw = ParamHolder([("kernel", (7, 7, 1, c), trunc_normal_init()),
+                          ("bias", (c,), zeros)], name="conv_dw")()
+        norm = ParamHolder([("scale", (c,), ones), ("bias", (c,), zeros)], name="norm")()
+        fc1, fc2 = MlpParams(c, 4 * c, trunc_normal_init(), name="mlp")()
+        gamma = self.param("gamma", nn.initializers.constant(self.ls_init_value),
+                           (c,), jnp.float32) if self.ls_init_value > 0 else None
+        xc = x if self.dtype is None else x.astype(self.dtype)
+        branch = convnext_block_apply(
+            xc, dw["kernel"], dw["bias"], norm["scale"], norm["bias"],
+            fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"], gamma,
+            use_pallas=False if training else None)
+        branch = DropPath(self.drop_path)(branch, deterministic=not training)
+        return x + branch.astype(x.dtype)
 
 
 class GAStage(nn.Module):
@@ -79,7 +87,7 @@ class GAStage(nn.Module):
     @nn.compact
     def __call__(self, x, *, training: bool = False):
         if self.in_chs != self.out_chs or self.stride > 1:
-            x = LayerNorm(name="downsample_norm")(x)
+            x = LayerNorm(dtype=self.dtype, name="downsample_norm")(x)
             x = nn.Conv(self.out_chs, (self.stride, self.stride), strides=(self.stride, self.stride),
                         dtype=self.dtype, kernel_init=trunc_normal_init(), name="downsample_conv")(x)
         dp = self.dp_rates or [0.0] * self.depth
@@ -120,7 +128,7 @@ class GA_ConvNeXt(nn.Module):
 
         x = nn.Conv(dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
                     kernel_init=trunc_normal_init(), name="stem_conv")(x)
-        x = LayerNorm(name="stem_norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="stem_norm")(x)
 
         x_cat, taps = [], []
         prev = dims[0]

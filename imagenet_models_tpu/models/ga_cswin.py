@@ -51,7 +51,7 @@ class MergeBlock(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.dim_out, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, kernel_init=trunc_normal_init(), name="conv")(x)
-        return LayerNorm(name="norm")(x)
+        return LayerNorm(dtype=self.dtype, name="norm")(x)
 
 
 class MergeBlockLCF(nn.Module):
@@ -64,7 +64,7 @@ class MergeBlockLCF(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
                     kernel_init=trunc_normal_init(), name="conv")(x)
-        return LayerNorm(name="norm")(x)
+        return LayerNorm(dtype=self.dtype, name="norm")(x)
 
 
 class GA_CSWinTransformer(nn.Module):
@@ -106,18 +106,18 @@ class GA_CSWinTransformer(nn.Module):
             x = nn.Conv(self.embed_dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="stem_conv0")(x)
-            x = gelu(LayerNorm(name="stem_norm0")(x))
+            x = gelu(LayerNorm(dtype=self.dtype, name="stem_norm0")(x))
             x = nn.Conv(self.embed_dim, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                         dtype=self.dtype, kernel_init=trunc_normal_init(), name="stem_conv1")(x)
-            x = gelu(LayerNorm(name="stem_norm1")(x))
+            x = gelu(LayerNorm(dtype=self.dtype, name="stem_norm1")(x))
             x = nn.Conv(dims[0], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="stem_conv2")(x)
-            x = LayerNorm(name="stem_norm2")(x)
+            x = LayerNorm(dtype=self.dtype, name="stem_norm2")(x)
         else:
             x = nn.Conv(dims[0], (7, 7), strides=(4, 4), padding=[(2, 2), (2, 2)],
                         dtype=self.dtype, kernel_init=trunc_normal_init(), name="stem_conv0")(x)
-            x = LayerNorm(name="stem_norm0")(x)
+            x = LayerNorm(dtype=self.dtype, name="stem_norm0")(x)
 
         def run_stage(x, name, n_blocks, dim, nh, ss, mlp_ratio, dp_off, last=False,
                       tap_interval=0, max_taps=0):

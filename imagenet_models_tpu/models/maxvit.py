@@ -145,7 +145,7 @@ class PartitionAttention(nn.Module):
         det = not training
         hw = x.shape[1:3]
         ps = self.partition_size
-        n1 = LayerNorm(epsilon=LN_EPS_TF, name="norm1")(x)
+        n1 = LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="norm1")(x)
         part = window_partition(n1, ps) if self.partition_type == "block" else grid_partition(n1, ps)
         part = AttentionCl(self.dim, self.dim, dim_head=self.dim_head,
                            rel_pos_type=self.rel_pos_type, window_size=ps,
@@ -156,7 +156,7 @@ class PartitionAttention(nn.Module):
         x = x + dp(a, deterministic=det)
         m = Mlp(hidden_features=int(self.dim * self.expand_ratio), act=gelu,
                 drop=self.proj_drop, dtype=self.dtype, name="mlp")(
-            LayerNorm(epsilon=LN_EPS_TF, name="norm2")(x), deterministic=det)
+            LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="norm2")(x), deterministic=det)
         return x + dp(m, deterministic=det)
 
 
@@ -245,7 +245,7 @@ class MaxxVit(nn.Module):
             return head(features, training=training)
 
         # NormMlpClassifierHead: LN -> GAP -> fc hidden + tanh -> drop -> fc
-        x = LayerNorm(epsilon=LN_EPS_TF, name="head_norm")(x)
+        x = LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="head_norm")(x)
         x = jnp.mean(x, axis=(1, 2))
         x = jnp.tanh(Dense(self.head_hidden_size, dtype=self.dtype, name="head_pre_logits")(x))
         x = nn.Dropout(self.drop_rate)(x, deterministic=not training)

@@ -92,12 +92,12 @@ class LayerScaleBlockClassAttn(nn.Module):
         a = ClassAttn(self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                       attn_drop=self.attn_drop, proj_drop=self.drop,
                       dim_embed=self.dim_embed, dtype=self.dtype, name="attn")(
-            LayerNorm(name="norm1")(u), deterministic=deterministic)
+            LayerNorm(dtype=self.dtype, name="norm1")(u), deterministic=deterministic)
         dp = DropPath(self.drop_path)
         x_cls = x_cls + dp(gamma_1.astype(a.dtype) * a, deterministic=deterministic)
         m = GroupConvMlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu,
                          drop=self.drop, groups=self.mlp_block_groups, dtype=self.dtype,
-                         name="mlp")(LayerNorm(name="norm2")(x_cls), deterministic=deterministic)
+                         name="mlp")(LayerNorm(dtype=self.dtype, name="norm2")(x_cls), deterministic=deterministic)
         x_cls = x_cls + dp(gamma_2.astype(m.dtype) * m, deterministic=deterministic)
         return x_cls
 

@@ -204,16 +204,16 @@ class CABlock(nn.Module):
             embed_dim=self.ca_dim or self.dim, interactive=self.interactive,
             dtype=self.dtype, name="attn")
         if dim_mismatch:
-            a = attn((LayerNorm(name="norm1_1")(x_cls), LayerNorm(name="norm1_2")(x_img)),
+            a = attn((LayerNorm(dtype=self.dtype, name="norm1_1")(x_cls), LayerNorm(dtype=self.dtype, name="norm1_2")(x_img)),
                      deterministic=deterministic)
             x_cls = a  # no residual on the mismatch path (map.py:174-177)
         else:
             u = jnp.concatenate([x_cls, x_img], axis=1)
-            x_cls = x_cls + attn(LayerNorm(name="norm1")(u), deterministic=deterministic)
+            x_cls = x_cls + attn(LayerNorm(dtype=self.dtype, name="norm1")(u), deterministic=deterministic)
         x_cls = x_cls + GroupConvMlp(
             hidden_features=int(self.dim * self.mlp_ratio), act=self.act, drop=self.drop,
             groups=self.groups, dtype=self.dtype, name="mlp",
-        )(LayerNorm(name="norm2")(x_cls), deterministic=deterministic)
+        )(LayerNorm(dtype=self.dtype, name="norm2")(x_cls), deterministic=deterministic)
         return x_cls, x_img
 
 
@@ -372,7 +372,7 @@ class NormHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, pre_logits: bool = False):
-        x = LayerNorm(name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         head = Dense(self.num_classes, dtype=self.dtype, name="head")
         if pre_logits:
@@ -399,7 +399,7 @@ class SplitNormHead(nn.Module):
         xs = x.reshape(b, self.nt, c // self.nt)
         out = 0
         for i in range(self.nt):
-            s = LayerNorm(name=f"norm_{i}")(xs[:, i])
+            s = LayerNorm(dtype=self.dtype, name=f"norm_{i}")(xs[:, i])
             s = nn.Dropout(self.drop)(s, deterministic=deterministic)
             out = out + Dense(self.num_classes, dtype=self.dtype, name=f"head_{i}")(s)
         return out
@@ -415,7 +415,7 @@ class NormMlpHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, pre_logits: bool = False):
-        x = LayerNorm(name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = jnp.tanh(Dense(x.shape[-1], dtype=self.dtype, name="pre_logits")(x))
         if pre_logits:
             return x

@@ -57,9 +57,9 @@ class ViTBlock(nn.Module):
         dp = DropPath(self.drop_path)
         a = Attention(self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                       attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-                      name="attn")(LayerNorm(name="norm1")(x), deterministic=deterministic)
+                      name="attn")(LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic=deterministic)
         x = x + dp(a, deterministic=deterministic)
         m = Mlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu, drop=self.drop,
-                dtype=self.dtype, name="mlp")(LayerNorm(name="norm2")(x),
+                dtype=self.dtype, name="mlp")(LayerNorm(dtype=self.dtype, name="norm2")(x),
                                               deterministic=deterministic)
         return x + dp(m, deterministic=deterministic)

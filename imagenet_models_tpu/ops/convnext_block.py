@@ -1,0 +1,160 @@
+"""Fused ConvNeXt-block compute for TPU.
+
+Measured split (trace on v5e): XLA's depthwise-7x7 conv is fast (<1% of step
+time) but the LayerNorm + pointwise-MLP chain is memory-bound and dominates.
+So the fusion boundary is: dw conv stays in XLA; a Pallas kernel fuses
+LayerNorm -> Dense(4C) -> exact-GELU -> Dense(C) -> layer-scale over tiles of
+tokens, keeping the (tokens, 4C) hidden activation in VMEM instead of HBM.
+
+Gradients: custom VJP rematerializes the plain-ops composition (XLA autodiff)
+— same math, no residual tensors saved.
+
+Reference block semantics: /root/reference/MAP/models/map_convnext.py:14-40
+(and ga_convnext.py:70-112). The residual add + drop-path happen in the
+caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imagenet_models_tpu.nn.layers import gelu
+
+
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7) — Mosaic has
+    no erf/erfc primitive."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def dw_conv7(x, dw_w, dw_b):
+    """Depthwise 7x7 (XLA lowering, fast on TPU)."""
+    return jax.lax.conv_general_dilated(
+        x, dw_w.astype(x.dtype), (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1]) + dw_b.astype(x.dtype)
+
+
+def plain_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
+    """LN -> MLP -> layer-scale in plain XLA ops (also the VJP path)."""
+    hf = h.astype(jnp.float32)
+    mu = hf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+    hf = (hf - mu) * jax.lax.rsqrt(var + eps) * ln_s + ln_b
+    y = hf.astype(h.dtype)
+    y = gelu(y @ w1.astype(h.dtype) + b1.astype(h.dtype))
+    y = y @ w2.astype(h.dtype) + b2.astype(h.dtype)
+    return y * gamma.astype(h.dtype)
+
+
+def _kernel(h_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            gamma_ref, out_ref, *, eps: float):
+    h = h_ref[:].astype(jnp.float32)  # (T, C)
+    mu = h.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    ln = (h - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+
+    tokens = ln.astype(out_ref.dtype)
+    hmid = jnp.dot(tokens, w1_ref[:], preferred_element_type=jnp.float32)
+    hmid = hmid + b1_ref[:].astype(jnp.float32)
+    hmid = (0.5 * hmid * (1.0 + _erf_poly(hmid * (2 ** -0.5)))).astype(out_ref.dtype)
+    out = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    out_ref[:] = (out * gamma_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+import os
+
+_TILE = int(os.environ.get("IMTPU_LNMLP_TILE", "2048"))
+
+
+def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
+    b, hh, ww, c = h.shape
+    n = b * hh * ww
+    hidden = w1.shape[-1]
+    # token tile: multiple of 8 sublanes dividing n, else the whole array
+    tile = min(_TILE, n)
+    if n % tile:
+        tile = n
+        for d in range(min(_TILE, n - n % 8), 7, -8):
+            if n % d == 0:
+                tile = d
+                break
+    tokens = h.reshape(n, c)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((c,)), full((c,)), full((c, hidden)), full((hidden,)),
+            full((hidden, c)), full((c,)), full((c,)),
+        ],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), h.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+    )(tokens, ln_s, ln_b, w1.astype(h.dtype), b1, w2.astype(h.dtype), b2, gamma)
+    return out.reshape(b, hh, ww, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
+    return _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+
+
+def _fwd(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps):
+    out = _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+    return out, (h, ln_s, ln_b, w1, b1, w2, b2, gamma)
+
+
+def _bwd(eps, residuals, g):
+    _, vjp = jax.vjp(lambda *a: plain_ln_mlp(*a, eps=eps), *residuals)
+    return vjp(g)
+
+
+fused_ln_mlp.defvjp(_fwd, _bwd)
+
+
+def plain_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
+                         eps: float = 1e-6):
+    """Full pre-residual branch in plain ops (parity/reference path)."""
+    h = dw_conv7(x, dw_w, dw_b)
+    return plain_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps=eps)
+
+
+def fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
+                         eps: float = 1e-6):
+    h = dw_conv7(x, dw_w, dw_b)
+    return fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+
+
+def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
+                         gamma: Optional[jnp.ndarray], eps: float = 1e-6,
+                         use_pallas: Optional[bool] = None):
+    """Dispatch: Pallas fusion on TPU, plain ops elsewhere. The branch is
+    picked per lowering platform (works under jit/shard_map on any device
+    placement). Returns the pre-residual branch output."""
+    if gamma is None:
+        gamma = jnp.ones((x.shape[-1],), jnp.float32)
+    if use_pallas is True:
+        return fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+    if use_pallas is False:
+        return plain_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+    return jax.lax.platform_dependent(
+        x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
+        cpu=functools.partial(plain_convnext_block, eps=eps),
+        default=functools.partial(fused_convnext_block, eps=eps),
+    )

@@ -111,7 +111,7 @@ class CSWinBlock(nn.Module):
         det = not training
         b, h, w, c = x.shape
         last = self.last_stage or (h == self.split_size)
-        img = LayerNorm(name="norm1")(x)
+        img = LayerNorm(dtype=self.dtype, name="norm1")(x)
         qkv = Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                     name="qkv")(img).reshape(b, h, w, 3, c)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
@@ -136,7 +136,7 @@ class CSWinBlock(nn.Module):
         att = Dense(self.dim, dtype=self.dtype, name="proj")(att)
         dp = DropPath(self.drop_path)
         x = x + dp(att, deterministic=det)
-        n2 = LayerNorm(name="norm2")(x)
+        n2 = LayerNorm(dtype=self.dtype, name="norm2")(x)
         if self.mlp_groups == 1:
             m = Mlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu,
                     drop=self.drop, dtype=self.dtype, name="mlp")(n2, deterministic=det)

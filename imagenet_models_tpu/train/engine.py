@@ -36,9 +36,11 @@ class NaNWatchdog(Exception):
 def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
                     log_interval: int = 50, saver=None, recovery_interval: int = 0,
                     lr_fn: Optional[Callable] = None, mixup_off: bool = False,
-                    steps_per_epoch: Optional[int] = None):
+                    steps_per_epoch: Optional[int] = None,
+                    profile_steps: int = 0, profile_dir: str = ""):
     if mixup_off and getattr(loader, "mixup_enabled", False):
         loader.mixup_enabled = False
+    profiling = False
 
     batch_time = AverageMeter()
     data_time = AverageMeter()
@@ -52,6 +54,15 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
         data_time.update(time.time() - end)
         n = images.shape[0]
         images, targets = shard_batch((images, targets), mesh)
+        if profile_steps and epoch == 0:
+            # jax.profiler trace hook (SURVEY §5.1 rebuild item)
+            if batch_idx == 2 and not profiling:
+                jax.profiler.start_trace(profile_dir or "./profile")
+                profiling = True
+            elif profiling and batch_idx == 2 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                _logger.info("profiler trace written to %s", profile_dir or "./profile")
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, images, targets, step_rng)
         pending.append((batch_idx, metrics, n))

@@ -39,15 +39,40 @@ def setup_default_logging(level=logging.INFO):
     logging.getLogger("jax").setLevel(logging.WARNING)
 
 
+try:
+    import wandb
+
+    HAS_WANDB = True
+except ImportError:  # optional, like the reference (GA/train.py:37-43)
+    wandb = None
+    HAS_WANDB = False
+
+
+def init_wandb(project: str, run_name: str, config: Dict, resume_id: Optional[str] = None):
+    if not HAS_WANDB:
+        logging.getLogger(__name__).warning(
+            "You've requested to log metrics to wandb but package not found. "
+            "Metrics not being logged to wandb, try `pip install wandb`")
+        return False
+    if resume_id:
+        wandb.init(project=project, name=run_name, config=config, resume="must", id=resume_id)
+    else:
+        wandb.init(project=project, name=run_name, config=config)
+    return True
+
+
 def update_summary(epoch: int, train_metrics: Dict, eval_metrics: Dict,
-                   filename: str, write_header: bool = False, lr: Optional[float] = None):
+                   filename: str, write_header: bool = False, lr: Optional[float] = None,
+                   log_wandb: bool = False):
     """Per-epoch summary.csv like timm update_summary
-    (/root/reference/GA/train.py:685-688)."""
+    (/root/reference/GA/train.py:685-688), optional wandb mirroring."""
     rowd = OrderedDict(epoch=epoch)
     rowd.update([("train_" + k, v) for k, v in train_metrics.items()])
     rowd.update([("eval_" + k, v) for k, v in eval_metrics.items()])
     if lr is not None:
         rowd["lr"] = lr
+    if log_wandb and HAS_WANDB:
+        wandb.log(dict(rowd))
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
     with open(filename, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(rowd.keys()))

@@ -40,6 +40,11 @@ parser.add_argument("--initial-checkpoint", default="", type=str,
                     help=".pth.tar (torch) or orbax dir to load weights from")
 parser.add_argument("--resume", default="", type=str,
                     help="orbax checkpoint dir to resume full state from")
+parser.add_argument("-fp", "--finetuning-checkpoint", default="", type=str,
+                    help="torch .pth.tar to fine-tune from (head fc dropped or remapped)")
+parser.add_argument("-pt", "--in21k-to-in1k", action="store_true", default=False,
+                    help="remap a 21k-class head to 1k classes (MAP/train.py:462-475)")
+parser.add_argument("--in21k-1k-map", default="in21k_1k_map.json", type=str)
 parser.add_argument("--no-resume-opt", action="store_true", default=False)
 parser.add_argument("--num-classes", type=int, default=None)
 parser.add_argument("--img-size", type=int, default=None)
@@ -144,6 +149,8 @@ parser.add_argument("--n-devices", type=int, default=None,
                     help="limit the mesh to the first N local devices")
 parser.add_argument("--max-steps-per-epoch", type=int, default=None,
                     help="truncate epochs (smoke runs)")
+parser.add_argument("--profile-steps", type=int, default=0,
+                    help="capture a jax.profiler device trace of N steps in epoch 0")
 
 
 def _parse_args(args_list=None):
@@ -250,6 +257,34 @@ def run(args, args_text: str):
             restored, _ = resume_checkpoint(args.initial_checkpoint, variables)
             variables = restored
         _logger.info("loaded initial checkpoint %s", args.initial_checkpoint)
+    if args.finetuning_checkpoint:
+        # fine-tune surgery (reference: MAP/train.py:459-481): either remap a
+        # 21k-class fc to 1k via the class map, or drop the head fc entirely
+        import json as _json
+
+        from imagenet_models_tpu.ckpt.pretrained import translator_for
+        from imagenet_models_tpu.ckpt.torch_convert import (
+            convert_torch_state_dict, load_torch_checkpoint)
+
+        sd = load_torch_checkpoint(args.finetuning_checkpoint)
+        fc_keys = [k for k in sd if k.endswith(("head.fc.weight", "head.fc.bias",
+                                                "head.fc2.weight", "head.fc2.bias"))]
+        if args.in21k_to_in1k:
+            with open(args.in21k_1k_map) as f:
+                class_map = _json.load(f)
+            for k in fc_keys:
+                old = sd[k]
+                new = np.zeros((1000,) + old.shape[1:], old.dtype)
+                new[class_map["in1k_idx"]] = old[class_map["in21k_idx"]]
+                new[850] = old.mean(0)  # class 850 missing in the map
+                sd[k] = new
+        else:
+            for k in fc_keys:
+                sd.pop(k)
+        variables = convert_torch_state_dict(sd, variables, translator_for(args.model),
+                                             strict=False)
+        _logger.info("fine-tuning from %s (%d fc keys %s)", args.finetuning_checkpoint,
+                     len(fc_keys), "remapped" if args.in21k_to_in1k else "dropped")
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     _logger.info("Model %s created, param count: %d", args.model, n_params)
 
@@ -291,6 +326,13 @@ def run(args, args_text: str):
                             decreasing=args.eval_metric == "loss", args_text=args_text)
     _logger.info("output dir: %s", output_dir)
 
+    log_wandb = False
+    if args.log_wandb:
+        from imagenet_models_tpu.utils.meters import init_wandb
+
+        log_wandb = init_wandb(f"{args.project_name}_{os.path.basename(args.data_dir).lower()}",
+                               run_name, vars(args))
+
     best_metric, best_epoch = None, None
     try:
         for epoch in range(start_epoch, args.epochs):
@@ -300,7 +342,9 @@ def run(args, args_text: str):
                 epoch, state, step_fn, _truncate(loader_train, args.max_steps_per_epoch),
                 mesh, rng, log_interval=args.log_interval, saver=saver,
                 recovery_interval=args.recovery_interval, lr_fn=lr_fn,
-                mixup_off=mixup_off, steps_per_epoch=steps_per_epoch)
+                mixup_off=mixup_off, steps_per_epoch=steps_per_epoch,
+                profile_steps=args.profile_steps,
+                profile_dir=os.path.join(output_dir, "profile"))
 
             do_eval = not args.dis_eval and (epoch + 1) >= args.eval_epoch
             eval_metrics = {"top1": 0.0, "top5": 0.0}
@@ -315,7 +359,7 @@ def run(args, args_text: str):
             update_summary(epoch, train_metrics, eval_metrics,
                            os.path.join(output_dir, "summary.csv"),
                            write_header=best_metric is None,
-                           lr=float(lr_fn(epoch)))
+                           lr=float(lr_fn(epoch)), log_wandb=log_wandb)
             if do_eval:
                 best_metric, best_epoch = saver.save_checkpoint(
                     state, epoch, metric=eval_metrics[args.eval_metric])

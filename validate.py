@@ -1,23 +1,29 @@
 #!/usr/bin/env python3
 """ImageNet validation CLI — the reference's validate.py surface
 (/root/reference/MAP/validate.py:49-128) on the TPU-native stack: multi-head
-logit averaging (:275-279), OOM batch-halving retry (:360-378), result
-JSON/CSV output (:411-443)."""
+logit averaging (:275-279), logit-extraction mode (:233-237,261-273,328-338),
+real-labels / valid-labels modes (:200-210,300-305), bulk validation with OOM
+batch-halving retry (:360-378), result JSON/CSV output (:411-443)."""
 
 import argparse
 import csv
+import fnmatch
+import glob
 import json
 import logging
 import os
 import time
 
+import numpy as np
+
 _logger = logging.getLogger("validate")
 
 parser = argparse.ArgumentParser(description="ImageNet validation (TPU-native)")
-parser.add_argument("data", metavar="DIR", help="dataset path (or 'synthetic')")
+parser.add_argument("data", metavar="DIR", help="dataset path (or 'synthetic[:N]')")
 parser.add_argument("--dataset", "-d", default="", type=str)
 parser.add_argument("--split", default="validation", type=str)
-parser.add_argument("--model", "-m", default="map_convnext_tiny", type=str)
+parser.add_argument("--model", "-m", default="map_convnext_tiny", type=str,
+                    help="model name; 'all' or a glob validates every match")
 parser.add_argument("-b", "--batch-size", default=256, type=int)
 parser.add_argument("--img-size", default=None, type=int)
 parser.add_argument("--input-size", default=None, nargs=3, type=int)
@@ -27,7 +33,7 @@ parser.add_argument("--std", type=float, nargs="+", default=None)
 parser.add_argument("--interpolation", default="", type=str)
 parser.add_argument("--num-classes", type=int, default=None)
 parser.add_argument("--checkpoint", default="", type=str,
-                    help=".pth.tar (torch) or orbax dir")
+                    help=".pth.tar / orbax dir; a directory of .pth.tar enables bulk mode")
 parser.add_argument("--pretrained", action="store_true")
 parser.add_argument("--use-ema", action="store_true")
 parser.add_argument("--amp", action="store_true", help="bf16 compute")
@@ -38,24 +44,46 @@ parser.add_argument("--results-file", default="", type=str)
 parser.add_argument("--max-batches", default=None, type=int,
                     help="truncate (subset evals, BASELINE config #1)")
 parser.add_argument("--n-devices", type=int, default=None)
+parser.add_argument("--extract-logits", default="", type=str,
+                    help="save per-head logits + head fc biases to this .npz")
+parser.add_argument("--real-labels", default="", type=str,
+                    help="JSON {filename: [valid class ids]} (ReaL labels)")
+parser.add_argument("--valid-labels", default="", type=str,
+                    help="text file of class indices restricting the label space")
+
+
+class _Truncate:
+    def __init__(self, loader, max_steps):
+        self.loader, self.max_steps = loader, max_steps
+        self.batch_size = getattr(loader, "batch_size", None)
+
+    def __len__(self):
+        n = len(self.loader)
+        return min(n, self.max_steps) if self.max_steps else n
+
+    def __iter__(self):
+        for i, b in enumerate(self.loader):
+            if self.max_steps and i >= self.max_steps:
+                return
+            yield b
 
 
 def validate_once(args):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     import imagenet_models_tpu.models  # noqa: F401
     from imagenet_models_tpu import create_model
     from imagenet_models_tpu.core.registry import default_cfg
+    from imagenet_models_tpu.core.setup import jit_init, setup_jax
     from imagenet_models_tpu.ckpt.pretrained import load_variables_from_torch
     from imagenet_models_tpu.ckpt.saver import resume_checkpoint
     from imagenet_models_tpu.data.dataset import create_dataset
     from imagenet_models_tpu.data.loader import create_loader
-    from imagenet_models_tpu.parallel.mesh import data_mesh, replicate
-    from imagenet_models_tpu.train.engine import validate as run_validate
-    from imagenet_models_tpu.train.state import TrainState, make_eval_step
+    from imagenet_models_tpu.parallel.mesh import batch_sharding, data_mesh, replicate, replicated
+    from imagenet_models_tpu.utils.meters import AverageMeter
 
+    setup_jax()
     devices = jax.devices()
     if args.n_devices:
         devices = devices[: args.n_devices]
@@ -73,9 +101,6 @@ def validate_once(args):
     dtype = jnp.bfloat16 if args.amp else None
     model = create_model(args.model, num_classes=num_classes, dtype=dtype)
 
-    from imagenet_models_tpu.core.setup import jit_init, setup_jax
-
-    setup_jax()
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     variables = jit_init(model, rng, x0, training=False)
@@ -88,13 +113,17 @@ def validate_once(args):
         _logger.info("loaded %s", args.checkpoint)
     param_count = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     _logger.info("Model %s created, param count: %d", args.model, param_count)
+    variables = replicate(variables, mesh)
 
-    import optax
+    # eval fn returns per-head logits stacked: (B, n_heads, classes)
+    def fwd(variables, images):
+        out = model.apply(variables, images, training=False)
+        if not isinstance(out, (tuple, list)):
+            out = (out,)
+        return jnp.stack([o.astype(jnp.float32) for o in out], axis=1)
 
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
-                       batch_stats=variables.get("batch_stats", {}), opt_state=())
-    state = replicate(state, mesh)
-    eval_step = make_eval_step(model, mesh=mesh)
+    eval_fn = jax.jit(fwd, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                      out_shardings=batch_sharding(mesh))
 
     dataset = create_dataset(args.data, args.split, num_classes=num_classes,
                              image_size=img_size)
@@ -103,23 +132,87 @@ def validate_once(args):
                            interpolation=interpolation, crop_pct=crop_pct,
                            mean=mean, std=std, num_workers=args.workers)
     if args.max_batches:
-        from train import _truncate
+        loader = _Truncate(loader, args.max_batches)
 
-        loader = _truncate(loader, args.max_batches)
+    valid_idx = None
+    if args.valid_labels:
+        with open(args.valid_labels) as f:
+            valid_idx = np.asarray([int(line.strip()) for line in f if line.strip()])
+    real = None
+    if args.real_labels:
+        with open(args.real_labels) as f:
+            real_map = json.load(f)
+        names = [os.path.basename(p) for p in dataset.filenames]
+        real = [set(real_map.get(n, [])) for n in names]
 
-    t0 = time.time()
-    metrics = run_validate(state, eval_step, loader, mesh, log_interval=args.log_freq)
-    dt = time.time() - t0
-    n_images = len(loader) * batch
-    results = {
+    top1, top5 = AverageMeter(), AverageMeter()
+    batch_time = AverageMeter()
+    all_logits = [] if args.extract_logits else None
+    seen = 0
+    t_start = time.time()
+    end = time.time()
+    last_idx = len(loader) - 1
+    for batch_idx, (images, targets) in enumerate(loader):
+        n = images.shape[0]
+        if n < batch:  # pad tail (static shapes), mask below
+            pad = batch - n
+            images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        heads = np.asarray(eval_fn(variables, jnp.asarray(images)))[:n]
+        logits = heads.mean(axis=1)
+        if all_logits is not None:
+            all_logits.append(heads)
+        if valid_idx is not None:
+            masked = np.full_like(logits, -np.inf)
+            masked[:, valid_idx] = logits[:, valid_idx]
+            logits = masked
+        order = np.argsort(-logits, axis=1)[:, :5]
+        if real is not None:
+            c1 = np.asarray([order[i, 0] in real[seen + i] if real[seen + i] else False
+                             for i in range(n)], np.float32)
+            c5 = np.asarray([bool(set(order[i]) & real[seen + i]) if real[seen + i] else False
+                             for i in range(n)], np.float32)
+        else:
+            c1 = (order[:, 0] == targets).astype(np.float32)
+            c5 = (order == targets[:, None]).any(axis=1).astype(np.float32)
+        top1.update(float(c1.mean()) * 100.0, n)
+        top5.update(float(c5.mean()) * 100.0, n)
+        seen += n
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if batch_idx % args.log_freq == 0 or batch_idx == last_idx:
+            _logger.info("Test: [%4d/%d]  Time: %.3f (%.3f, %7.2f/s)  "
+                         "Acc@1: %.3f (%.3f)  Acc@5: %.3f (%.3f)",
+                         batch_idx, len(loader), batch_time.val, batch_time.avg,
+                         n / max(batch_time.avg, 1e-9), top1.val, top1.avg,
+                         top5.val, top5.avg)
+
+    if all_logits is not None:
+        # per-head logits + per-head fc biases (reference logit-extraction
+        # dump, MAP/validate.py:261-273,328-338)
+        import jax as _jax
+
+        biases = {}
+        flat = {}
+
+        def visit(path, leaf):
+            p = "/".join(str(getattr(k, "key", k)) for k in path)
+            if p.endswith("bias") and ("heads_" in p or "fc_" in p or p.endswith("head/bias")):
+                biases[p] = np.asarray(leaf)
+
+        _jax.tree_util.tree_map_with_path(visit, variables["params"])
+        np.savez(args.extract_logits, logits=np.concatenate(all_logits),
+                 **{f"bias::{k}": v for k, v in biases.items()})
+        _logger.info("wrote logits for %d images to %s", seen, args.extract_logits)
+
+    dt = time.time() - t_start
+    return {
         "model": args.model,
-        "top1": round(metrics["top1"], 4), "top1_err": round(100 - metrics["top1"], 4),
-        "top5": round(metrics["top5"], 4), "top5_err": round(100 - metrics["top5"], 4),
+        "top1": round(top1.avg, 4), "top1_err": round(100 - top1.avg, 4),
+        "top5": round(top5.avg, 4), "top5_err": round(100 - top5.avg, 4),
         "param_count": round(param_count / 1e6, 2),
         "img_size": img_size, "cropt_pct": crop_pct, "interpolation": interpolation,
-        "images_per_sec": round(n_images / dt, 2),
+        "images_per_sec": round(seen / dt, 2),
     }
-    return results
 
 
 def _try_run(args):
@@ -139,16 +232,39 @@ def _try_run(args):
 
 
 def main():
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
+    logging.getLogger("absl").setLevel(logging.WARNING)
     args = parser.parse_args()
-    results = _try_run(args)
-    if args.results_file:
-        with open(args.results_file, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=list(results.keys()))
-            if f.tell() == 0:
-                writer.writeheader()
-            writer.writerow(results)
-    print(f"--result\n{json.dumps(results, indent=4)}")
+
+    # bulk mode (reference MAP/validate.py:387-409): model glob and/or a
+    # directory of checkpoints
+    runs = []
+    if os.path.isdir(args.checkpoint):
+        for ckpt in sorted(glob.glob(os.path.join(args.checkpoint, "*.pth.tar"))):
+            name = os.path.basename(ckpt).rsplit(".pth.tar", 1)[0]
+            runs.append((name, ckpt))
+    elif args.model == "all" or any(ch in args.model for ch in "*?["):
+        import imagenet_models_tpu.models  # noqa: F401
+        from imagenet_models_tpu import list_models
+
+        pattern = "*" if args.model == "all" else args.model
+        runs = [(m, args.checkpoint) for m in list_models(pattern)]
+    else:
+        runs = [(args.model, args.checkpoint)]
+
+    all_results = []
+    for name, ckpt in runs:
+        args.model, args.checkpoint = name, ckpt
+        results = _try_run(args)
+        all_results.append(results)
+        if args.results_file:
+            with open(args.results_file, "a", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=list(results.keys()))
+                if f.tell() == 0:
+                    writer.writeheader()
+                writer.writerow(results)
+        print(f"--result\n{json.dumps(results, indent=4)}")
+    return all_results
 
 
 if __name__ == "__main__":
