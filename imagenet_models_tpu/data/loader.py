@@ -37,7 +37,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, transform: Callable,
                  is_training: bool = False, mixup_fn=None, num_workers: int = 4,
-                 seed: int = 42, repeats: int = 0, drop_last: Optional[bool] = None):
+                 seed: int = 42, repeats: int = 0, drop_last: Optional[bool] = None,
+                 use_native: Optional[bool] = None):
         self.dataset, self.batch_size, self.transform = dataset, batch_size, transform
         self.is_training, self.mixup_fn = is_training, mixup_fn
         self.num_workers = max(1, num_workers)
@@ -45,6 +46,14 @@ class DataLoader:
         self.drop_last = is_training if drop_last is None else drop_last
         self.epoch = 0
         self.mixup_enabled = mixup_fn is not None
+        # native C++ decode path: training over an all-JPEG ImageFolder
+        self.native = False
+        if use_native is not False and is_training and hasattr(dataset, "samples") \
+                and hasattr(transform, "post_decode"):
+            if all(p.lower().endswith((".jpg", ".jpeg")) for p, _ in dataset.samples):
+                from imagenet_models_tpu.data.native import get_native_lib
+
+                self.native = get_native_lib() is not None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -58,55 +67,69 @@ class DataLoader:
         rng = random.Random(aug_seed)
         return self.transform(img, rng), label
 
+    def _load_batch_native(self, binds, seeds) -> Tuple[np.ndarray, np.ndarray]:
+        from imagenet_models_tpu.data.native import decode_batch
+
+        paths = [self.dataset.samples[int(i)][0] for i in binds]
+        labels = np.asarray([self.dataset.samples[int(i)][1] for i in binds], np.int64)
+        arr = decode_batch(paths, seeds, self.transform.size, "train",
+                           hflip=self.transform.hflip > 0)
+        imgs = [self.transform.post_decode(arr[k], random.Random(seeds[k]))
+                for k in range(len(binds))]
+        return np.stack(imgs), labels
+
+    def _make_batch(self, bi: int, binds) -> Tuple[np.ndarray, np.ndarray]:
+        seeds = [(self.seed, self.epoch, bi, pos).__hash__() & 0x7FFFFFFF
+                 for pos in range(len(binds))]
+        if self.native:
+            return self._load_batch_native(binds, seeds)
+        imgs, labels = [], []
+        for pos, i in enumerate(binds):
+            a, lb = self._load_one(i, seeds[pos])
+            imgs.append(a)
+            labels.append(lb)
+        return np.stack(imgs), np.asarray(labels, np.int64)
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         idx = epoch_indices(len(self.dataset), self.epoch, self.seed,
                             shuffle=self.is_training, repeats=self.repeats if self.is_training else 0)
         nb = len(self)
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
-        out_q: "queue.Queue" = queue.Queue(maxsize=4)
         mix_rng = np.random.default_rng(self.seed * 1000003 + self.epoch)
 
-        def produce():
-            for bi, binds in enumerate(batches):
-                imgs, labels = [], []
-                for pos, i in enumerate(binds):
-                    a, lb = self._load_one(i, (self.seed, self.epoch, bi, pos).__hash__() & 0x7FFFFFFF)
-                    imgs.append(a)
-                    labels.append(lb)
-                images = np.stack(imgs)
-                targets = np.asarray(labels, np.int64)
-                if self.is_training and self.mixup_fn is not None and self.mixup_enabled:
-                    images, targets = self.mixup_fn(images, targets, mix_rng)
-                out_q.put((images, targets))
-            out_q.put(None)
+        def finish(images, targets):
+            if self.is_training and self.mixup_fn is not None and self.mixup_enabled:
+                images, targets = self.mixup_fn(images, targets, mix_rng)
+            return images, targets
 
-        if self.num_workers > 1:
-            # shard batch production across threads, preserving order
-            qs = [queue.Queue(maxsize=2) for _ in range(self.num_workers)]
+        # the native decoder has its own internal thread pool; one producer
+        # thread is enough there
+        workers = 1 if self.native else self.num_workers
+        if workers > 1:
+            qs = [queue.Queue(maxsize=2) for _ in range(workers)]
 
             def worker(w):
-                for bi in range(w, nb, self.num_workers):
-                    binds = batches[bi]
-                    imgs, labels = [], []
-                    for pos, i in enumerate(binds):
-                        a, lb = self._load_one(i, (self.seed, self.epoch, bi, pos).__hash__() & 0x7FFFFFFF)
-                        imgs.append(a)
-                        labels.append(lb)
-                    qs[w].put((bi, np.stack(imgs), np.asarray(labels, np.int64)))
+                for bi in range(w, nb, workers):
+                    images, targets = self._make_batch(bi, batches[bi])
+                    qs[w].put((bi, images, targets))
                 qs[w].put(None)
 
             threads = [threading.Thread(target=worker, args=(w,), daemon=True)
-                       for w in range(self.num_workers)]
+                       for w in range(workers)]
             for t in threads:
                 t.start()
             for bi in range(nb):
-                item = qs[bi % self.num_workers].get()
+                item = qs[bi % workers].get()
                 assert item is not None and item[0] == bi
-                _, images, targets = item
-                if self.is_training and self.mixup_fn is not None and self.mixup_enabled:
-                    images, targets = self.mixup_fn(images, targets, mix_rng)
-                yield images, targets
+                yield finish(item[1], item[2])
             return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def produce():
+            for bi, binds in enumerate(batches):
+                out_q.put(self._make_batch(bi, binds))
+            out_q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -114,7 +137,7 @@ class DataLoader:
             item = out_q.get()
             if item is None:
                 return
-            yield item
+            yield finish(*item)
 
 
 def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,

@@ -102,12 +102,20 @@ class TrainTransform:
         img = random_resized_crop(img, self.size, rng, self.scale, self.ratio, interp)
         if self.hflip and rng.random() < self.hflip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return self.post_decode_pil(img, rng)
+
+    def post_decode_pil(self, img: Image.Image, rng: random.Random) -> np.ndarray:
         if self.aa is not None:
             img = self.aa(img, rng)
         a = to_float_chw_last(img, self.mean, self.std)
         if self.erase is not None:
             a = self.erase(a, rng)
         return a
+
+    def post_decode(self, arr_uint8: np.ndarray, rng: random.Random) -> np.ndarray:
+        """Finish a native-decoded (already cropped/flipped) uint8 HWC image:
+        RandAugment + normalize + random erasing."""
+        return self.post_decode_pil(Image.fromarray(arr_uint8), rng)
 
 
 class EvalTransform:
