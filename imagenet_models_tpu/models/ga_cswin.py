@@ -263,6 +263,21 @@ def ga_cswin_base(**kwargs):
         num_classes=kwargs.pop("num_classes", 1000), **kwargs)
 
 
+@register_model
+def ga_cswin_base_384(**kwargs):
+    """GA-CSWin-B at 384 resolution (BASELINE config #5 fine-tune target).
+
+    Stage grids at 384 are 96/48/24/12 with the stage-5 head on the 24 grid;
+    stripe widths scale to (1, 2, 12, 12, 12) following upstream CSWin's
+    384 variants so every grid is divisible by its split."""
+    kwargs.pop("drop", None), kwargs.pop("drop_rate", None)
+    return GA_CSWinTransformer(
+        embed_dim=96, depth=(2, 4, 32, 2), dims=(96, 192, 384, 768),
+        num_heads=(4, 8, 16, 32, 32), split_size=(1, 2, 12, 12, 12),
+        drop_path_rate=kwargs.pop("drop_path_rate", 0.0),
+        num_classes=kwargs.pop("num_classes", 1000), **kwargs)
+
+
 # reference aliases for the default_cfgs names (ga_cswin.py:34-37)
 @register_model(name="ga_CSWin_64_12211_tiny_224")
 def _ga_cswin_tiny_alias(**kwargs):
@@ -277,3 +292,5 @@ def _ga_cswin_small_alias(**kwargs):
 for _n in ("ga_cswin_tiny", "ga_cswin_small", "ga_cswin_base",
            "ga_CSWin_64_12211_tiny_224", "ga_CSWin_64_24322_small_224"):
     register_default_cfg(_n, {"crop_pct": 0.9, "interpolation": "bicubic"})
+register_default_cfg("ga_cswin_base_384", {"crop_pct": 1.0, "interpolation": "bicubic",
+                                           "input_size": (384, 384, 3)})
