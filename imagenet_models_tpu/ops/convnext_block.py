@@ -17,6 +17,7 @@ caller.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -141,9 +142,15 @@ def fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
     return fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
 
 
+# memory knob, NOT a speed knob: A/B on v5e measured 858 vs 1060 img/s with
+# remat on (the step is compute-bound; XLA already overlaps the HBM traffic)
+_REMAT = os.environ.get("IMTPU_BLOCK_REMAT", "0") != "0"
+
+
 def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
                          gamma: Optional[jnp.ndarray], eps: float = 1e-6,
-                         use_pallas: Optional[bool] = None):
+                         use_pallas: Optional[bool] = None,
+                         remat: Optional[bool] = None):
     """Dispatch: Pallas fusion on TPU, plain ops elsewhere. The branch is
     picked per lowering platform (works under jit/shard_map on any device
     placement). Returns the pre-residual branch output."""
@@ -152,7 +159,13 @@ def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
     if use_pallas is True:
         return fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
     if use_pallas is False:
-        return plain_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+        fn = plain_convnext_block
+        if remat if remat is not None else _REMAT:
+            # don't store the 4C hidden activations; recompute in backward
+            # (HBM bandwidth, not FLOPs, bounds the train step)
+            fn = jax.checkpoint(fn, policy=jax.checkpoint_policies.nothing_saveable,
+                                static_argnums=(10,))
+        return fn(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
     return jax.lax.platform_dependent(
         x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
         cpu=functools.partial(plain_convnext_block, eps=eps),

@@ -1,0 +1,70 @@
+"""Host-side engine logic: NaN watchdog, LR schedule values, WD mask,
+EMA/update bookkeeping helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imagenet_models_tpu.parallel.mesh import data_mesh
+from imagenet_models_tpu.train.engine import NaNWatchdog, train_one_epoch
+from imagenet_models_tpu.train.optim import wd_mask
+from imagenet_models_tpu.train.scheduler import cosine_schedule
+
+
+class _FakeLoader:
+    batch_size = 4
+    mixup_enabled = False
+
+    def __len__(self):
+        return 3
+
+    def __iter__(self):
+        for _ in range(3):
+            yield np.zeros((4, 8, 8, 3), np.float32), np.zeros((4,), np.int64)
+
+
+def test_nan_watchdog_fires():
+    mesh = data_mesh(jax.devices("cpu")[:1])
+
+    calls = {"n": 0}
+
+    def step_fn(state, images, targets, rng):
+        calls["n"] += 1
+        loss = jnp.nan if calls["n"] == 2 else jnp.float32(1.0)
+        return state, {"loss": jnp.float32(loss), "grad_norm": jnp.float32(0.0)}
+
+    with pytest.raises(NaNWatchdog):
+        train_one_epoch(0, {}, step_fn, _FakeLoader(), mesh, jax.random.PRNGKey(0),
+                        log_interval=1)
+
+
+def test_cosine_schedule_timm_semantics():
+    lr = cosine_schedule(5e-3, epochs=300, warmup_epochs=5, warmup_lr=1e-6, min_lr=1e-5)
+    assert float(lr(0)) == pytest.approx(1e-6)
+    assert float(lr(2.5)) == pytest.approx((1e-6 + 5e-3) / 2, rel=1e-3)
+    # warmup_prefix=False: cosine argument is the raw epoch
+    assert float(lr(5)) == pytest.approx(
+        1e-5 + 0.5 * (5e-3 - 1e-5) * (1 + np.cos(np.pi * 5 / 300)), rel=1e-6)
+    assert float(lr(300)) == pytest.approx(1e-5, rel=1e-6)
+    # monotone decreasing after warmup
+    vals = [float(lr(e)) for e in range(5, 300, 10)]
+    assert all(a > b for a, b in zip(vals, vals[1:]))
+
+
+def test_wd_mask_excludes_1d_and_tokens():
+    params = {
+        "dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros((4,))},
+        "norm": {"scale": jnp.zeros((4,)), "bias": jnp.zeros((4,))},
+        "cap": {"x_cls": jnp.zeros((1, 2, 8))},
+        "pit": {"pos_embed": jnp.zeros((1, 3, 3, 8))},
+        "blk": {"gamma": jnp.zeros((8,))},
+    }
+    mask = wd_mask(params)
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False
+    assert mask["norm"]["scale"] is False
+    assert mask["cap"]["x_cls"] is False
+    assert mask["pit"]["pos_embed"] is False
+    assert mask["blk"]["gamma"] is False
