@@ -42,6 +42,8 @@ def get_multi_args_parser():
                    help="override the recipe's dataset path (or 'synthetic')")
     p.add_argument("--epochs", type=int, default=None, help="override recipe epochs")
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
+    p.add_argument("-b", "--batch-size", type=int, default=None, help="override recipe batch")
+    p.add_argument("-tb", "--total-batch-size", type=int, default=None)
     # mmcap hyper-parameters (fixed; reference train_with_script.py:38-42)
     p.add_argument("--dec-lam", default=-0.8, type=float)
     p.add_argument("--distill-tokens", default=0, type=int)
@@ -69,6 +71,10 @@ def main():
                 args.data_dir = os.environ.get("IMAGENET_DIR", args.data_dir)
             if multi_args.epochs:
                 args.epochs = multi_args.epochs
+            if multi_args.batch_size:
+                args.batch_size = multi_args.batch_size
+            if multi_args.total_batch_size:
+                args.total_batch_size = multi_args.total_batch_size
             args.max_steps_per_epoch = multi_args.max_steps_per_epoch
             run(args, args_text)
             gc.collect()
