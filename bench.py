@@ -22,6 +22,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from imagenet_models_tpu.core.setup import setup_jax
+
+    setup_jax()
+
     import imagenet_models_tpu.models  # noqa: F401
     from imagenet_models_tpu import create_model
     from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
