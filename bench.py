@@ -99,4 +99,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from imagenet_models_tpu.core.setup import run_with_cache_recovery
+
+    # survive a stale AOT compile-cache entry after a libtpu roll
+    run_with_cache_recovery(main)

@@ -5,6 +5,66 @@ from __future__ import annotations
 import os
 
 
+def cache_dir_path(cache_dir: str = "") -> str:
+    return cache_dir or os.environ.get(
+        "IMTPU_JAX_CACHE", os.path.expanduser("~/.cache/imtpu_jax"))
+
+
+def force_cpu(min_devices: int = 1) -> None:
+    """Pin the CPU platform (and >=min_devices virtual CPU devices) *before*
+    any backend initialization. Must run before the first jax.devices()/jit.
+
+    The TPU plugin on this host pins jax_platforms at import (JAX_PLATFORMS
+    env is ignored), so the pin must go through jax.config. Used by the
+    multichip dryrun so a TPU-side fault (e.g. a stale AOT compile-cache
+    entry vs a rolled libtpu) can never fail a CPU-mesh check.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+    try:
+        if jax.config.jax_num_cpu_devices < min_devices:
+            jax.config.update("jax_num_cpu_devices", min_devices)
+    except Exception:  # pragma: no cover - older jax or backend already up
+        pass
+    try:
+        # CPU AOT cache entries are keyed loosely enough to deserialize on a
+        # host with different ISA features (-> possible SIGILL); the dryrun
+        # compiles tiny shapes, so run it cache-free.
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:  # pragma: no cover
+        pass
+
+
+def _is_stale_cache_error(e: BaseException) -> bool:
+    # libtpu-roll cache mismatches surface as FAILED_PRECONDITION; the
+    # tunneled backend also throws bare "TPU backend error (FailedPrecondition)"
+    # transients. Both are worth one cold retry.
+    msg = str(e)
+    return "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg
+
+
+def run_with_cache_recovery(fn, *args, **kwargs):
+    """Run fn; if it dies on a stale persistent-cache entry (libtpu rolled
+    under a serialized AOT executable -> FAILED_PRECONDITION at
+    deserialization), wipe the cache and retry once cold."""
+    import jax
+
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # includes jax.errors.JaxRuntimeError
+        if not _is_stale_cache_error(e):
+            raise
+        import shutil
+
+        shutil.rmtree(cache_dir_path(), ignore_errors=True)
+        jax.clear_caches()
+        return fn(*args, **kwargs)
+
+
 def setup_jax(cache_dir: str = "", platform: str = ""):
     """Enable the persistent compilation cache (first-compile costs on this
     class of host are large; the cache amortizes them across runs).
@@ -18,8 +78,7 @@ def setup_jax(cache_dir: str = "", platform: str = ""):
     platform = platform or os.environ.get("IMTPU_PLATFORM", "")
     if platform:
         jax.config.update("jax_platforms", platform)
-    cache_dir = cache_dir or os.environ.get(
-        "IMTPU_JAX_CACHE", os.path.expanduser("~/.cache/imtpu_jax"))
+    cache_dir = cache_dir_path(cache_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
