@@ -11,14 +11,28 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 
 class ReverseTranslator:
-    def __init__(self, rules: Sequence[Tuple[str, str]]):
+    def __init__(self, rules: Sequence[Tuple[str, str]],
+                 aliases: Sequence[Tuple[str, str]] = ()):
         self.rules = [(re.compile(p), r) for p, r in rules]
+        # torch modules registered under TWO parents (e.g. FasterViT's
+        # TokenInitializer.pos_embed, also reachable as to_global_feature.pos,
+        # map_fastervit.py:732-735) appear twice in a reference state_dict;
+        # aliases re-emit such keys under the duplicate path on export
+        self.aliases = [(re.compile(p), r) for p, r in aliases]
 
     def __call__(self, path: str) -> Optional[str]:
         path = path.replace("/", ".")
         for pat, rep in self.rules:
             path = pat.sub(rep, path)
         return path
+
+    def alias_keys(self, tkey: str) -> List[str]:
+        """Duplicate torch keys this key must also be written under."""
+        out = []
+        for pat, rep in self.aliases:
+            if pat.search(tkey):
+                out.append(pat.sub(rep, tkey))
+        return out
 
 
 # inverse of MAP_HEAD_RULES (ckpt/torch_convert.py)
@@ -97,12 +111,18 @@ _REVERSE: Dict[str, List[Tuple[str, str]]] = {
 }
 
 
-def register_reverse_rules(pattern: str, rules: Sequence[Tuple[str, str]]):
+_ALIASES: Dict[str, List[Tuple[str, str]]] = {}
+
+
+def register_reverse_rules(pattern: str, rules: Sequence[Tuple[str, str]],
+                           aliases: Sequence[Tuple[str, str]] = ()):
     _REVERSE[pattern] = list(rules)
+    if aliases:
+        _ALIASES[pattern] = list(aliases)
 
 
 def reverse_translator(model_name: str) -> ReverseTranslator:
     for pattern, rules in _REVERSE.items():
         if fnmatch.fnmatch(model_name, pattern):
-            return ReverseTranslator(rules)
+            return ReverseTranslator(rules, aliases=_ALIASES.get(pattern, ()))
     raise KeyError(f"no reverse conversion rules for {model_name}")

@@ -83,16 +83,50 @@ class CheckpointSaver:
         return state, int(meta.get("epoch", -1))
 
 
-def resume_checkpoint(path: str, target) -> Tuple[Any, int]:
-    """Resume from a saved orbax dir (last/recovery/checkpoint-N)."""
+def resume_checkpoint(path: str, target, use_ema: bool = False) -> Tuple[Any, int]:
+    """Resume from a saved orbax dir (last/recovery/checkpoint-N).
+
+    The saver writes full TrainState trees (step/params/batch_stats/opt_state/
+    ema_*). A bare variables-dict target ({params[, batch_stats]} — the
+    validate.py / --initial-checkpoint path) extracts just the model weights
+    from such a checkpoint (EMA weights with use_ema, mirroring timm
+    load_checkpoint(use_ema=...), /root/reference/MAP/validate.py:168-169)
+    instead of failing on the tree-structure mismatch."""
     ckpt = ocp.PyTreeCheckpointer()
-    state = ckpt.restore(os.path.abspath(path), item=_to_host(target))
+    path = os.path.abspath(path)
     meta_path = os.path.join(path, "meta.json")
     epoch = -1
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             epoch = int(json.load(f).get("epoch", -1))
-    return state, epoch
+
+    target_is_state = hasattr(target, "opt_state")
+    if target_is_state:
+        state = ckpt.restore(path, item=_to_host(target))
+        return state, epoch
+
+    # variables-dict target: restore structure-free, then adapt
+    raw = ckpt.restore(path)
+    if isinstance(raw, dict) and "opt_state" in raw:  # a saved TrainState
+        params = raw.get("params")
+        batch_stats = raw.get("batch_stats") or {}
+        if use_ema:
+            if not raw.get("ema_params"):
+                raise ValueError(f"--use-ema: checkpoint {path} has no EMA weights")
+            params = raw["ema_params"]
+            batch_stats = raw.get("ema_batch_stats") or batch_stats
+        restored = {"params": params}
+        if batch_stats:
+            restored["batch_stats"] = batch_stats
+        # validate against the target structure (catches wrong-model loads)
+        t_struct = jax.tree_util.tree_structure(_to_host(dict(target)))
+        r_struct = jax.tree_util.tree_structure(restored)
+        if t_struct != r_struct:
+            raise ValueError(
+                f"checkpoint {path} params tree does not match the model: "
+                f"{r_struct} vs {t_struct}")
+        return restored, epoch
+    return ckpt.restore(path, item=_to_host(target)), epoch
 
 
 def export_pth_tar(variables: Dict[str, Any], model_name: str, out_path: str,

@@ -103,8 +103,41 @@ MAP_HEAD_RULES: List[Tuple[str, str]] = [
 # tensor transforms
 # ---------------------------------------------------------------------------
 
+def _resize_rel_pos_table(tval: np.ndarray, fshape: Tuple[int, ...],
+                          path: str) -> np.ndarray:
+    """Re-resolve a relative-position bias table to a new window size.
+
+    The reference swaps in a fresh table via `change_img_size`
+    (/root/reference/MAP/models/map_maxvit.py:1276-1283), losing the learned
+    bias; here the (2H-1, 2W-1) lattice is bilinearly interpolated instead
+    (timm resize_rel_pos_bias_table semantics) so a 224 checkpoint stays
+    usable at e.g. 384. Layouts: TF (heads, 2H-1, 2W-1) and
+    ((2H-1)*(2W-1), heads)."""
+    import jax.numpy as jnp
+
+    from imagenet_models_tpu.nn.layers import resize_bilinear
+
+    if tval.ndim == 3 and len(fshape) == 3:  # (heads, h, w)
+        x = jnp.asarray(tval.transpose(1, 2, 0), jnp.float32)[None]
+        out = np.asarray(resize_bilinear(x, tuple(fshape[1:3]))[0])
+        return out.transpose(2, 0, 1).astype(tval.dtype)
+    if tval.ndim == 2 and len(fshape) == 2:  # (L, heads), L = (2H-1)^2
+        sl = int(round(float(np.sqrt(tval.shape[0]))))
+        tl = int(round(float(np.sqrt(fshape[0]))))
+        if sl * sl != tval.shape[0] or tl * tl != fshape[0]:
+            raise ValueError(f"non-square rel-pos table at {path}: "
+                             f"{tval.shape} -> {fshape}")
+        x = jnp.asarray(tval.reshape(sl, sl, -1), jnp.float32)[None]
+        out = np.asarray(resize_bilinear(x, (tl, tl))[0])
+        return out.reshape(tl * tl, -1).astype(tval.dtype)
+    raise ValueError(f"cannot re-resolve rel-pos table at {path}: "
+                     f"{tval.shape} -> {fshape}")
+
+
 def _to_flax(tval: np.ndarray, target: np.ndarray, path: str) -> np.ndarray:
     tshape, fshape = tuple(tval.shape), tuple(target.shape)
+    if "relative_position_bias_table" in path and tshape != fshape:
+        return _resize_rel_pos_table(tval, fshape, path)
     if tshape == fshape and tval.ndim <= 2 and not (tval.ndim == 2 and path.endswith("kernel")):
         return tval
     if path.endswith("kernel"):
@@ -121,6 +154,9 @@ def _to_flax(tval: np.ndarray, target: np.ndarray, path: str) -> np.ndarray:
             return np.transpose(w, (1, 0))
     if tshape == fshape:
         return tval
+    # 4-D NCHW parameter (e.g. PiT pos_embed, map_pit.py:106-111) -> NHWC
+    if tval.ndim == 4 and np.transpose(tval, (0, 2, 3, 1)).shape == fshape:
+        return np.transpose(tval, (0, 2, 3, 1))
     if tval.size == target.size:
         return tval.reshape(fshape)
     raise ValueError(f"shape mismatch at {path}: torch {tshape} vs flax {fshape}")
@@ -135,6 +171,9 @@ def _to_torch(fval: np.ndarray, path: str) -> np.ndarray:
             return np.transpose(fval, (0, 2, 1)).reshape(g * o, i)[:, :, None, None]
         if fval.ndim == 2:
             return np.transpose(fval, (1, 0))
+    # NHWC spatial parameter (PiT pos_embed) back to torch NCHW
+    if path.endswith("pos_embed") and fval.ndim == 4:
+        return np.transpose(fval, (0, 3, 1, 2))
     return fval
 
 
@@ -231,6 +270,8 @@ def export_torch_state_dict(
                 continue
             tkey = f"{tbase}.{suffix}" if suffix else tbase
             out[tkey] = _to_torch(val, path)
+            for dup in getattr(translate_back, "alias_keys", lambda k: ())(tkey):
+                out[dup] = out[tkey]
     return out
 
 

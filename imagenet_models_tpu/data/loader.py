@@ -46,11 +46,16 @@ class DataLoader:
         self.drop_last = is_training if drop_last is None else drop_last
         self.epoch = 0
         self.mixup_enabled = mixup_fn is not None
-        # native C++ decode path: training over an all-JPEG ImageFolder
+        # native C++ decode path: training over an all-JPEG ImageFolder; only
+        # auto-enabled when it can honor every recipe knob (interpolation
+        # choice is the one thing it may not support)
         self.native = False
         if use_native is not False and is_training and hasattr(dataset, "samples") \
                 and hasattr(transform, "post_decode"):
-            if all(p.lower().endswith((".jpg", ".jpeg")) for p, _ in dataset.samples):
+            from imagenet_models_tpu.data.native import INTERP_CODES
+
+            if getattr(transform, "interpolation", None) in INTERP_CODES and \
+                    all(p.lower().endswith((".jpg", ".jpeg")) for p, _ in dataset.samples):
                 from imagenet_models_tpu.data.native import get_native_lib
 
                 self.native = get_native_lib() is not None
@@ -70,11 +75,14 @@ class DataLoader:
     def _load_batch_native(self, binds, seeds) -> Tuple[np.ndarray, np.ndarray]:
         from imagenet_models_tpu.data.native import decode_batch
 
+        tf = self.transform
         paths = [self.dataset.samples[int(i)][0] for i in binds]
         labels = np.asarray([self.dataset.samples[int(i)][1] for i in binds], np.int64)
-        arr = decode_batch(paths, seeds, self.transform.size, "train",
-                           hflip=self.transform.hflip > 0)
-        imgs = [self.transform.post_decode(arr[k], random.Random(seeds[k]))
+        arr = decode_batch(paths, seeds, tf.size, "train",
+                           interpolation=tf.interpolation,
+                           hflip=tf.hflip, vflip=getattr(tf, "vflip", 0.0),
+                           scale=tf.scale, ratio=tf.ratio)
+        imgs = [tf.post_decode(arr[k], random.Random(seeds[k]))
                 for k in range(len(binds))]
         return np.stack(imgs), labels
 
@@ -143,7 +151,8 @@ class DataLoader:
 def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                   interpolation: str = "bicubic", crop_pct: float = 0.875,
                   mean=None, std=None, auto_augment: Optional[str] = None,
-                  hflip: float = 0.5, reprob: float = 0.0, remode: str = "pixel",
+                  hflip: float = 0.5, vflip: float = 0.0, color_jitter: float = 0.0,
+                  reprob: float = 0.0, remode: str = "pixel",
                   recount: int = 1, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
                   mixup_fn=None, num_workers: int = 4, seed: int = 42,
                   repeats: int = 0) -> DataLoader:
@@ -158,6 +167,7 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
     std = std or IMAGENET_DEFAULT_STD
     if is_training:
         tf = TrainTransform(input_size, interpolation=interpolation, hflip=hflip,
+                            vflip=vflip, color_jitter=color_jitter,
                             auto_augment=auto_augment, mean=mean, std=std,
                             reprob=reprob, remode=remode, recount=recount,
                             scale=scale, ratio=ratio)

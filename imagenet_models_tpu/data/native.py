@@ -36,7 +36,9 @@ def _build_and_load():
     lib.imtpu_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
     return lib
 
 
@@ -53,9 +55,18 @@ def get_native_lib():
         return _lib
 
 
-def decode_batch(paths, seeds, size: int, mode: str, hflip: bool = True,
+INTERP_CODES = {"bilinear": 0, "bicubic": 1, "random": 2}
+
+
+def decode_batch(paths, seeds, size: int, mode: str, interpolation: str = "bicubic",
+                 hflip: float = 0.5, vflip: float = 0.0,
+                 scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
                  crop_pct: float = 0.875, num_threads: int = 0) -> np.ndarray:
-    """Decode a batch of JPEGs to (N, size, size, 3) uint8. mode: train|eval."""
+    """Decode a batch of JPEGs to (N, size, size, 3) uint8. mode: train|eval.
+
+    Train mode honors every pixel-affecting recipe knob: interpolation
+    (bilinear/bicubic/'random' per-image), hflip/vflip probabilities and the
+    RandomResizedCrop --scale/--ratio ranges (timm create_loader semantics)."""
     lib = get_native_lib()
     assert lib is not None
     n = len(paths)
@@ -65,7 +76,10 @@ def decode_batch(paths, seeds, size: int, mode: str, hflip: bool = True,
     nt = num_threads or os.cpu_count() or 1
     fails = lib.imtpu_decode_batch(
         c_paths, c_seeds, n, size, 0 if mode == "train" else 1,
-        1 if hflip else 0, ctypes.c_float(crop_pct), nt,
+        INTERP_CODES[interpolation], ctypes.c_float(hflip), ctypes.c_float(vflip),
+        ctypes.c_float(scale[0]), ctypes.c_float(scale[1]),
+        ctypes.c_float(ratio[0]), ctypes.c_float(ratio[1]),
+        ctypes.c_float(crop_pct), nt,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if fails:
         _logger.warning("%d/%d images failed native decode (grey-filled)", fails, n)

@@ -75,20 +75,47 @@ def to_float_chw_last(img: Image.Image, mean=IMAGENET_DEFAULT_MEAN,
     return a  # HWC
 
 
+def color_jitter(img: Image.Image, rng: random.Random, brightness: float,
+                 contrast: float, saturation: float) -> Image.Image:
+    """torchvision ColorJitter semantics (timm applies it with
+    brightness=contrast=saturation=--color-jitter when no auto-augment is
+    configured, timm transforms_factory): each enabled op picks a factor
+    uniformly from [max(0, 1-v), 1+v] and the ops run in random order."""
+    from PIL import ImageEnhance
+
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+    if contrast > 0:
+        fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(fc))
+    if saturation > 0:
+        fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im: ImageEnhance.Color(im).enhance(fs))
+    rng.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return img
+
+
 class TrainTransform:
     def __init__(self, size: int = 224, interpolation: str = "bicubic",
-                 hflip: float = 0.5, auto_augment: Optional[str] = None,
+                 hflip: float = 0.5, vflip: float = 0.0,
+                 color_jitter: float = 0.0, auto_augment: Optional[str] = None,
                  mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
                  reprob: float = 0.0, remode: str = "pixel", recount: int = 1,
                  scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
         self.size, self.interpolation = size, interpolation
-        self.hflip, self.mean, self.std = hflip, mean, std
+        self.hflip, self.vflip, self.mean, self.std = hflip, vflip, mean, std
         self.scale, self.ratio = scale, ratio
         self.aa = None
         if auto_augment:
             from imagenet_models_tpu.data.auto_augment import rand_augment_transform
 
             self.aa = rand_augment_transform(auto_augment)
+        # timm disables color jitter when auto-augment is active
+        self.color_jitter = 0.0 if auto_augment else color_jitter
         self.erase = None
         if reprob > 0:
             from imagenet_models_tpu.data.random_erasing import RandomErasing
@@ -102,11 +129,16 @@ class TrainTransform:
         img = random_resized_crop(img, self.size, rng, self.scale, self.ratio, interp)
         if self.hflip and rng.random() < self.hflip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if self.vflip and rng.random() < self.vflip:
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
         return self.post_decode_pil(img, rng)
 
     def post_decode_pil(self, img: Image.Image, rng: random.Random) -> np.ndarray:
         if self.aa is not None:
             img = self.aa(img, rng)
+        elif self.color_jitter > 0:
+            cj = self.color_jitter
+            img = color_jitter(img, rng, cj, cj, cj)
         a = to_float_chw_last(img, self.mean, self.std)
         if self.erase is not None:
             a = self.erase(a, rng)

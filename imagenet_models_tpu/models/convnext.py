@@ -65,12 +65,11 @@ class ConvNeXtBlock(nn.Module):
         else:
             gamma = None
         xc = x if self.dtype is None else x.astype(self.dtype)
-        # Pallas fusion for inference; training uses plain ops so XLA
-        # autodiff keeps its own residuals (remat-bwd measured slower)
+        # Pallas fusion both ways: fused forward + fused backward (dx and
+        # in-kernel weight-grad accumulation, ops/convnext_block.py)
         branch = convnext_block_apply(
             xc, dw["kernel"], dw["bias"], norm["scale"], norm["bias"],
-            pw1["kernel"], pw1["bias"], pw2["kernel"], pw2["bias"], gamma,
-            use_pallas=False if training else None)
+            pw1["kernel"], pw1["bias"], pw2["kernel"], pw2["bias"], gamma)
         branch = DropPath(self.drop_path)(branch, deterministic=not training)
         return x + branch.astype(x.dtype)
 
@@ -98,11 +97,12 @@ class ConvNeXt(nn.Module):
     gram: bool = True
     split_norm: bool = False
     self_distill_token: bool = True
+    distill_tokens: int = 0
     drop_rate: float = 0.0
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, *, training: bool = False, pre_logits: bool = False):
         dp_rates = np.linspace(0, self.drop_path_rate, sum(self.depths))
         features = []
         cur = 0
@@ -127,14 +127,15 @@ class ConvNeXt(nn.Module):
             head = MAPHead(
                 multi_scale_level=3, channels=[self.dims[0]] + list(self.dims),
                 last_dim=self.last_dim, n_tokens=self.n_tokens, n_groups=self.n_groups,
-                self_distill_token=self.self_distill_token, mlp_ratio=4, mlp_groups=2,
+                self_distill_token=self.self_distill_token,
+                distill_tokens=self.distill_tokens, mlp_ratio=4, mlp_groups=2,
                 head_fn="split_norm" if self.split_norm else "norm", fc_drop=0.0,
                 num_classes=self.num_classes, non_linearity=gelu, gram=self.gram,
                 bp_dim=self.bp_dim, bp_groups=self.bp_groups, gram_group=self.gram_group,
                 gram_dim=self.gram_dim, ca_dim=self.ca_dim, num_heads=self.num_heads,
                 dtype=self.dtype, name="head",
             )
-            return head(features, training=training)
+            return head(features, training=training, pre_logits=pre_logits)
         x = jnp.mean(x, axis=(1, 2))
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not training)

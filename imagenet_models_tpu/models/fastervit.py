@@ -329,7 +329,7 @@ class FasterViT(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, *, training: bool = False, pre_logits: bool = False):
         ura = not training
         # PatchEmbed (map_fastervit.py:442-468): BN eps 1e-4 + ReLU, twice
         x = nn.Conv(self.in_dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
@@ -392,7 +392,7 @@ class FasterViT(nn.Module):
                 head_fn="linear", fc_drop=self.drop_rate, num_classes=self.num_classes,
                 dtype=self.dtype, name="head",
             )
-            return head(features, training=training)
+            return head(features, training=training, pre_logits=pre_logits)
         x = BatchNorm(dtype=self.dtype, name="norm")(x, use_running_average=ura)
         x = jnp.mean(x, axis=(1, 2))
         return Dense(self.num_classes, dtype=self.dtype, name="head")(x)
@@ -430,7 +430,11 @@ FASTERVIT_REVERSE = [
     (r"cpb_mlp\.fc2", "cpb_mlp.2"),
 ] + MAP_HEAD_REVERSE
 
-register_reverse_rules("*faster_vit*", FASTERVIT_REVERSE)
+register_reverse_rules(
+    "*faster_vit*", FASTERVIT_REVERSE,
+    # TokenInitializer.pos_embed is also registered as to_global_feature.pos
+    # (map_fastervit.py:732-735) — a reference state_dict carries both keys
+    aliases=[(r"(global_tokenizer)\.pos_embed\.", r"\1.to_global_feature.pos.")])
 
 
 @register_model

@@ -64,8 +64,7 @@ class GABlock(nn.Module):
         xc = x if self.dtype is None else x.astype(self.dtype)
         branch = convnext_block_apply(
             xc, dw["kernel"], dw["bias"], norm["scale"], norm["bias"],
-            fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"], gamma,
-            use_pallas=False if training else None)
+            fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"], gamma)
         branch = DropPath(self.drop_path)(branch, deterministic=not training)
         return x + branch.astype(x.dtype)
 

@@ -23,6 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from imagenet_models_tpu.ckpt.pretrained import register_torch_rules
+from imagenet_models_tpu.ckpt.reverse_rules import register_reverse_rules
 from imagenet_models_tpu.core.registry import register_default_cfg, register_model
 from imagenet_models_tpu.nn.ga_head import Bottleneck, LayerScaleBlockClassAttn
 from imagenet_models_tpu.nn.heads import gram_triu_normalize
@@ -212,9 +213,12 @@ GA_CSWIN_RULES = [
     (r"^stage1_conv_embed\.7$", "stem_norm1"),
     (r"^stage1_conv_embed\.10$", "stem_conv2"),
     (r"^stage1_conv_embed\.12$", "stem_norm2"),
-    (r"^stage(\d)\.(\d+)\.", r"stage\1_\2."),
+    # stage5 is Sequential(LCF-merge, CSWinBlock) — must rewrite before the
+    # generic stage-block rule or it would shadow these (caught by the
+    # ga_cswin export round-trip test)
     (r"^stage5\.1\.", "stage5_merge."),
     (r"^stage5\.2\.", "stage5_block."),
+    (r"^stage([1-4])\.(\d+)\.", r"stage\1_\2."),
     (r"attns\.(\d)\.", r"attns_\1."),
     (r"^gram_contraction\.(\d+)\.0$", r"gram_contraction_\1"),
     (r"^gram_contraction\.(\d+)\.1$", r"gram_contraction_\1_bn"),
@@ -227,6 +231,31 @@ GA_CSWIN_RULES = [
 
 register_torch_rules("ga_cswin*", GA_CSWIN_RULES)
 register_torch_rules("ga_CSWin*", GA_CSWIN_RULES)
+
+# flax path -> torch dotted key (inverse of GA_CSWIN_RULES; ordering matters:
+# _bn suffixes must rewrite before their prefix patterns)
+GA_CSWIN_REVERSE = [
+    (r"^stem_conv0", "stage1_conv_embed.0"),
+    (r"^stem_norm0", "stage1_conv_embed.2"),
+    (r"^stem_conv1", "stage1_conv_embed.5"),
+    (r"^stem_norm1", "stage1_conv_embed.7"),
+    (r"^stem_conv2", "stage1_conv_embed.10"),
+    (r"^stem_norm2", "stage1_conv_embed.12"),
+    (r"^stage5_merge\.", "stage5.1."),
+    (r"^stage5_block\.", "stage5.2."),
+    (r"^stage(\d)_(\d+)\.", r"stage\1.\2."),
+    (r"attns_(\d)\.", r"attns.\1."),
+    (r"^gram_contraction_(\d+)_bn", r"gram_contraction.\1.1"),
+    (r"^gram_contraction_(\d+)", r"gram_contraction.\1.0"),
+    (r"^gram_layer_(\d+)\.", r"gram_layer.\1.1."),
+    (r"^gram_embedding_(\d+)_bn", r"gram_embedding.\1.1"),
+    (r"^gram_embedding_(\d+)", r"gram_embedding.\1.0"),
+    (r"^ga_(\d+)\.", r"ga.\1."),
+    (r"^fc_(\d+)$", r"fc.\1"),
+]
+
+register_reverse_rules("ga_cswin*", GA_CSWIN_REVERSE)
+register_reverse_rules("ga_CSWin*", GA_CSWIN_REVERSE)
 
 
 @register_model

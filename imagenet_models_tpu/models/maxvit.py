@@ -101,8 +101,11 @@ class MbConvBlock(nn.Module):
 
         if self.stride == 2:
             shortcut = avg_pool2(x)
-            shortcut = nn.Conv(self.out_chs, (1, 1), use_bias=True, dtype=self.dtype,
-                               kernel_init=trunc_normal_init(), name="shortcut_expand")(shortcut)
+            # Downsample2d expands only on a channel change (map_maxvit.py:304-307,
+            # nn.Identity otherwise) — stage0 block0 has in==out and no conv.
+            if in_chs != self.out_chs:
+                shortcut = nn.Conv(self.out_chs, (1, 1), use_bias=True, dtype=self.dtype,
+                                   kernel_init=trunc_normal_init(), name="shortcut_expand")(shortcut)
         elif in_chs != self.out_chs:
             shortcut = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
                                kernel_init=trunc_normal_init(), name="shortcut_conv")(x)
@@ -208,7 +211,7 @@ class MaxxVit(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, *, training: bool = False, pre_logits: bool = False):
         h0, w0 = x.shape[1:3]
         ps = (h0 // self.partition_ratio, w0 // self.partition_ratio)
 
@@ -242,7 +245,7 @@ class MaxxVit(nn.Module):
                 gram_dim=self.gram_dim, ca_dim=self.ca_dim, num_heads=self.num_heads,
                 dtype=self.dtype, name="head",
             )
-            return head(features, training=training)
+            return head(features, training=training, pre_logits=pre_logits)
 
         # NormMlpClassifierHead: LN -> GAP -> fc hidden + tanh -> drop -> fc
         x = LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="head_norm")(x)

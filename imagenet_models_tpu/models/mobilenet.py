@@ -76,7 +76,7 @@ class MobileNetV1(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, *, training: bool = False, pre_logits: bool = False):
         features = []
         for i, stage in enumerate(_STAGES):
             for j, (blk, ch, stride) in enumerate(stage):
@@ -93,7 +93,7 @@ class MobileNetV1(nn.Module):
                 interactive=True, head_fn="linear", fc_drop=0.0,
                 num_classes=self.num_classes, dtype=self.dtype, name="fc",
             )
-            return head(features, training=training)
+            return head(features, training=training, pre_logits=pre_logits)
         x = jnp.mean(x, axis=(1, 2))
         return Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
 

@@ -49,7 +49,7 @@ class PoolingTransformer(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, *, training: bool = False, pre_logits: bool = False):
         det = not training
         width = math.floor((self.image_size - self.patch_size) / self.stride + 1)
         dim0 = self.base_dims[0] * self.heads[0]
@@ -94,7 +94,7 @@ class PoolingTransformer(nn.Module):
                 gram_group=self.gram_group, gram_dim=self.last_dim, ca_dim=192,
                 num_heads=12, dtype=self.dtype, name="head",
             )
-            return head(features, training=training)
+            return head(features, training=training, pre_logits=pre_logits)
         x = jnp.mean(features[-1], axis=(1, 2))
         return Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 

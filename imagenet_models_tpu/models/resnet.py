@@ -91,7 +91,7 @@ class MAP_ResNet(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, *, training: bool = False, pre_logits: bool = False):
         ura = not training
         if self.stem_type == "deep":
             x = ConvNormAct(64, 3, stride=2, padding=1, act=gelu, dtype=self.dtype,
@@ -133,7 +133,7 @@ class MAP_ResNet(nn.Module):
                 gram_dim=self.last_dim, ca_dim=384, num_heads=12, light=self.light,
                 dropout=self.dropout, interactive=True, dtype=self.dtype, name="head",
             )
-            return head(features, training=training)
+            return head(features, training=training, pre_logits=pre_logits)
         # GAP + fc fallback (the reference's Linear(channels[0], ...) at :368 is
         # non-functional; we wire the sane dimension)
         x = jnp.mean(x, axis=(1, 2))

@@ -253,6 +253,16 @@ class CAP(nn.Module):
                 bp_groups=self.bp_groups, bp_dim=self.bp_dim, out_dim=gram_dim,
                 gram_blk=self.gram_blk, dtype=self.dtype, name="gram_token_extraction",
             )(x, training=training)
+            if self.distill_tokens > 0:
+                # learned distill tokens appended after the gram tokens (the
+                # reference's gram path never wires distill_tokens — map.py:266
+                # yields n_tokens only, leaving the distill loss branch at
+                # MAP/train.py:797-806 unreachable; resolved here with
+                # zero-init learned tokens, the non-gram convention map.py:262)
+                dst = self.param("x_distill", nn.initializers.zeros_init(),
+                                 (1, self.distill_tokens, gram_dim), jnp.float32)
+                dst = jnp.broadcast_to(dst, (x.shape[0],) + dst.shape[1:]).astype(x_cls.dtype)
+                x_cls = jnp.concatenate([x_cls, dst], axis=1)
         else:
             x_cls = self.param("x_cls", nn.initializers.zeros_init(),
                                (1, cls_tokens, self.last_dim), jnp.float32)
@@ -363,7 +373,13 @@ class Head(nn.Module):
 
 class NormHead(nn.Module):
     """LayerNorm + Dropout + Linear
-    (reference: /root/reference/MAP/models/map.py:393-412)."""
+    (reference: /root/reference/MAP/models/map.py:393-412).
+
+    pre_logits=True returns PER-TOKEN logits (B, nt, num_classes): the
+    normalized features are split into nt chunks and each chunk is multiplied
+    by its slice of the fc weight, NO bias (map.py:405-409) — the
+    logit-extraction dump reconstructs full logits as sum-over-tokens plus
+    the separately-dumped fc bias (MAP/validate.py:261-273)."""
 
     num_classes: int
     drop: float = 0.0
@@ -372,16 +388,23 @@ class NormHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, pre_logits: bool = False):
+        from imagenet_models_tpu.nn.param_holder import ParamHolder
+
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        head = Dense(self.num_classes, dtype=self.dtype, name="head")
+        b, c = x.shape
+        hp = ParamHolder([("kernel", (c, self.num_classes), trunc_normal_init()),
+                          ("bias", (self.num_classes,), nn.initializers.zeros_init())],
+                         name="head")()
+        kernel, bias = hp["kernel"], hp["bias"]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel, bias = kernel.astype(self.dtype), bias.astype(self.dtype)
         if pre_logits:
-            # per-token logits: split features into nt chunks, apply the
-            # matching slice of the fc weight (map.py:406-409)
-            b, c = x.shape
-            y = head(x)  # parity shortcut unused; keep simple path
-            return y
-        return head(x)
+            xs = x.reshape(b, self.nt, c // self.nt)
+            w = kernel.reshape(self.nt, c // self.nt, self.num_classes)
+            return jnp.einsum("btc,tcn->btn", xs, w)
+        return x @ kernel + bias
 
 
 class SplitNormHead(nn.Module):
@@ -476,7 +499,7 @@ class MAPHead(nn.Module):
         raise ValueError(f"unknown head_fn {self.head_fn}")
 
     @nn.compact
-    def __call__(self, features, *, training: bool = False):
+    def __call__(self, features, *, training: bool = False, pre_logits: bool = False):
         out_ch = self.last_dim * self.n_tokens
         pools = MAP(
             multi_scale_level=self.multi_scale_level, channels=self.channels,
@@ -496,18 +519,34 @@ class MAPHead(nn.Module):
             head = self._make_head(i)
 
             def _apply(h, p):
-                return h(p) if self.head_fn == "linear" and h is head else h(p, deterministic=det)
+                # pre_logits routes to each head's per-token path (the intent
+                # of MAP/validate.py:255-273; the reference's MAPHead.forward
+                # accepts pre_logits but drops it on the floor, map.py:514)
+                if self.head_fn == "linear" and h is head:
+                    return p if pre_logits else h(p)
+                return h(p, deterministic=det, pre_logits=pre_logits)
 
             if self.self_distill_token:
-                org_pool, avg_pool = pools[i][:, :out_ch], pools[i][:, out_ch:]
+                dst_ch = self.last_dim * self.distill_tokens
+                org_pool = pools[i][:, :out_ch]
+                dst_pool = pools[i][:, out_ch:out_ch + dst_ch] if dst_ch else None
+                avg_pool = pools[i][:, out_ch + dst_ch:]
                 dt_head = NormHead(self.num_classes, self.fc_drop, dtype=self.dtype,
                                    name=f"self_dt_heads_{i}")
                 if training:
                     org_pool = nn.Dropout(self.dropout)(org_pool, deterministic=det)
                 org_out = _apply(head, org_pool)
                 avg_out = dt_head(avg_pool, deterministic=det)
+                if dst_pool is not None:
+                    # --distill-tokens path: per-group distill head over the
+                    # extra tokens; training emits the 3-output form consumed
+                    # by the distill loss branch (MAP/train.py:797-806)
+                    dst_out = NormHead(self.num_classes, self.fc_drop,
+                                       nt=self.distill_tokens, dtype=self.dtype,
+                                       name=f"distill_heads_{i}")(dst_pool, deterministic=det)
                 if training:
-                    output.append((org_out, avg_out))
+                    output.append((org_out, dst_out, avg_out) if dst_pool is not None
+                                  else (org_out, avg_out))
                 elif self.light:
                     output.append(avg_out)
                 else:

@@ -66,6 +66,7 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, images, targets, step_rng)
         pending.append((batch_idx, metrics, n))
+        batch_time.update(time.time() - end)
 
         if batch_idx % log_interval == 0 or batch_idx == last_idx:
             # drain async metrics; NaN watchdog here (amortized device sync)
@@ -76,7 +77,6 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
                     raise NaNWatchdog(f"epoch {epoch} batch {bi}")
                 losses.update(loss, bn)
             pending.clear()
-            batch_time.update((time.time() - end) if batch_idx else (time.time() - end))
             rate = n / max(batch_time.val, 1e-9)
             lr_now = float(lr_fn(epoch + batch_idx / spe)) if lr_fn else float("nan")
             _logger.info(
@@ -90,7 +90,6 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
                 batch_idx == last_idx or (batch_idx + 1) % recovery_interval == 0):
             saver.save_recovery(state, epoch, batch_idx)
 
-        batch_time.update(time.time() - end)
         end = time.time()
 
     return state, rng, OrderedDict([("loss", losses.avg)])

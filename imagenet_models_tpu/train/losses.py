@@ -98,7 +98,8 @@ HeadOutput = Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]
 
 
 def multi_head_loss(outputs: Sequence[HeadOutput], target: jnp.ndarray,
-                    base_loss: Callable, dec_lam: float = 0.0) -> jnp.ndarray:
+                    base_loss: Callable, dec_lam: float = 0.0,
+                    token_distillation: bool = True) -> jnp.ndarray:
     """Unified GA/MAP multi-head objective.
 
     Per head: classification loss on the main logits; for (org, avg)
@@ -107,12 +108,40 @@ def multi_head_loss(outputs: Sequence[HeadOutput], target: jnp.ndarray,
     (MAP/train.py:815-818). Across heads (when >1): decorrelation
     KL(log_softmax(y_k) vs log_softmax(stop_grad(mean logits))) * dec_lam
     (MAP/train.py:823-837, GA/train.py:742-745).
+
+    3-tuples (y_hat, y_distill, y_mean_hat) are the `--distill-tokens>0` +
+    `--token-distillation` path (MAP/train.py:797-806): TWO self-distill KLs
+    (the avg token distills from both the class tokens and the distill
+    tokens), plus the classification loss. The reference's cls term,
+    `loss_fn((y_hat, y_distill), target, input)` (MAP/train.py:805), is not
+    executable against any loss its own engine constructs (timm losses take
+    (logits, target)); we use the mean of the two branch losses — DeiT-style
+    hard distillation with ground-truth targets — which degenerates to the
+    2-output semantics when the branches agree. With
+    token_distillation=False, only y_hat is trained (the reference treats
+    outputs as plain tensors on that branch, MAP/train.py:807-809).
     """
     loss = 0.0
     aggregate = 0.0
     mains = []
     for out in outputs:
-        if isinstance(out, (tuple, list)):
+        if isinstance(out, (tuple, list)) and len(out) == 3:
+            y_hat, y_distill, y_mean = out
+            if token_distillation:
+                logp_mean = jax.nn.log_softmax(y_mean.astype(jnp.float32), axis=1)
+                logp_hat = jax.lax.stop_gradient(
+                    jax.nn.log_softmax(y_hat.astype(jnp.float32), axis=1))
+                logp_dst = jax.lax.stop_gradient(
+                    jax.nn.log_softmax(y_distill.astype(jnp.float32), axis=1))
+                adv1 = kl_div_log_target(logp_mean, logp_hat, "sum") / y_hat.size
+                adv2 = kl_div_log_target(logp_mean, logp_dst, "sum") / y_distill.size
+                cls = 0.5 * (base_loss(y_hat, target) + base_loss(y_distill, target))
+                loss = loss + cls + adv1 + adv2
+            else:
+                loss = loss + base_loss(y_hat, target)
+            aggregate = aggregate + jax.lax.stop_gradient(y_hat.astype(jnp.float32))
+            mains.append(y_hat)
+        elif isinstance(out, (tuple, list)):
             org, avg = out
             logp_avg = jax.nn.log_softmax(avg.astype(jnp.float32), axis=1)
             logp_org = jax.lax.stop_gradient(jax.nn.log_softmax(org.astype(jnp.float32), axis=1))

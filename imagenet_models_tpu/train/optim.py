@@ -18,12 +18,21 @@ import optax
 
 
 def wd_mask(params) -> Any:
-    """True where weight decay applies."""
+    """True where weight decay applies.
+
+    Exclusions mirror timm: rank<=1 leaves (biases, norm scales, layer-scale
+    gammas), learned tokens (x_cls, pos_embed — timm no_weight_decay() of
+    PiT/CSWin, map_pit.py:160-161, ga_cswin.py:608-609), and rel-pos bias
+    tables (rank 2/3 here) which MaxViT's no_weight_decay() excludes by name
+    (/root/reference/MAP/models/map_maxvit.py:1271-1274). FasterViT's
+    'rpb' keyword is intentionally NOT excluded: it is declared via
+    no_weight_decay_keywords(), which timm's create_optimizer_v2 never
+    consults, so the reference decays those parameters."""
     def leaf_mask(path, p):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if p.ndim <= 1:
             return False
-        if name in ("x_cls", "pos_embed"):
+        if name in ("x_cls", "pos_embed", "relative_position_bias_table"):
             return False
         return True
 

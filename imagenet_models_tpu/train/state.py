@@ -64,6 +64,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     grad_accum: int = 1,
     mesh: Optional[Mesh] = None,
+    token_distillation: bool = True,
 ):
     """Build the jitted SPMD train step.
 
@@ -80,7 +81,8 @@ def make_train_step(
             variables, images, training=True, mutable=["batch_stats"],
             rngs={"dropout": rng})
         if isinstance(out, (tuple, list)):
-            loss = multi_head_loss(out, targets, base_loss, dec_lam)
+            loss = multi_head_loss(out, targets, base_loss, dec_lam,
+                                   token_distillation=token_distillation)
         else:
             loss = base_loss(out, targets)
         return loss, mutated.get("batch_stats", {})

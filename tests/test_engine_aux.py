@@ -60,6 +60,8 @@ def test_wd_mask_excludes_1d_and_tokens():
         "cap": {"x_cls": jnp.zeros((1, 2, 8))},
         "pit": {"pos_embed": jnp.zeros((1, 3, 3, 8))},
         "blk": {"gamma": jnp.zeros((8,))},
+        # MaxViT no_weight_decay() name exclusion (map_maxvit.py:1271-1274)
+        "attn": {"rel_pos": {"relative_position_bias_table": jnp.zeros((13, 13, 4))}},
     }
     mask = wd_mask(params)
     assert mask["dense"]["kernel"] is True
@@ -68,3 +70,26 @@ def test_wd_mask_excludes_1d_and_tokens():
     assert mask["cap"]["x_cls"] is False
     assert mask["pit"]["pos_embed"] is False
     assert mask["blk"]["gamma"] is False
+    assert mask["attn"]["rel_pos"]["relative_position_bias_table"] is False
+
+
+def test_cosine_schedule_cooldown_holds_min_lr():
+    # timm: epochs beyond t_initial (the cooldown tail) run at min_lr
+    lr = cosine_schedule(5e-3, epochs=300, warmup_epochs=5, warmup_lr=1e-6, min_lr=1e-5)
+    for e in (300, 303, 310):
+        assert float(lr(e)) == pytest.approx(1e-5, rel=1e-6)
+
+
+def test_truncate_wrapper_delegates_attribute_writes():
+    # --mixup-off-epoch flips mixup_enabled on the wrapper; the write must
+    # reach the wrapped DataLoader whose __iter__ applies mixup
+    from train import _truncate
+
+    loader = _FakeLoader()
+    loader.mixup_enabled = True
+    wrapped = _truncate(loader, 2)
+    assert wrapped.mixup_enabled is True
+    assert wrapped.batch_size == 4
+    wrapped.mixup_enabled = False
+    assert loader.mixup_enabled is False
+    assert len(wrapped) == 2 and len(list(wrapped)) == 2

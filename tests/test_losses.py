@@ -85,6 +85,53 @@ def _torch_map_loss(outputs, target, dec_lam):
     return loss
 
 
+def _torch_map_loss_distill(outputs, target, dec_lam):
+    """Verbatim KL math of the distill_tokens>0 branch (MAP/train.py:797-806,
+    825-837). The reference's cls term on that branch is not executable (see
+    losses.multi_head_loss docstring); ours is the mean of the two branch
+    losses, reproduced here."""
+    loss = 0
+    y_hat_aggre = 0
+    for y_hat, y_distill, y_mean_hat in outputs:
+        y_hat_aggre = y_hat_aggre + y_hat
+        adv1 = F.kl_div(F.log_softmax(y_mean_hat, dim=1),
+                        F.log_softmax(y_hat, dim=1).detach(),
+                        reduction="sum", log_target=True) / y_hat.numel()
+        adv2 = F.kl_div(F.log_softmax(y_mean_hat, dim=1),
+                        F.log_softmax(y_distill, dim=1).detach(),
+                        reduction="sum", log_target=True) / y_distill.numel()
+        cls = 0.5 * (F.cross_entropy(y_hat, target) + F.cross_entropy(y_distill, target))
+        loss = loss + cls + adv1 + adv2
+    if len(outputs) > 1:
+        for y_hat, _, _ in outputs:
+            loss = loss + F.kl_div(F.log_softmax(y_hat, dim=1),
+                                   F.log_softmax(y_hat_aggre.detach() / len(outputs), dim=1),
+                                   reduction="mean", log_target=True) * dec_lam
+    return loss
+
+
+def test_multi_head_loss_distill_tokens_matches_reference():
+    rng = np.random.default_rng(11)
+    t = rng.integers(0, 13, (8,))
+    heads = [tuple(rng.standard_normal((8, 13)).astype(np.float32) for _ in range(3))
+             for _ in range(3)]
+
+    base = lambda x, y: L.cross_entropy(x, y, smoothing=0.0)
+    jheads = tuple(tuple(jnp.asarray(a) for a in h) for h in heads)
+    mine = float(L.multi_head_loss(jheads, jnp.asarray(t), base, dec_lam=-0.8))
+
+    theads = [tuple(torch.from_numpy(a) for a in h) for h in heads]
+    ref = _torch_map_loss_distill(theads, torch.from_numpy(t), -0.8).item()
+    assert abs(mine - ref) < 2e-4, (mine, ref)
+
+    # token_distillation=0: only y_hat trains, plain branch semantics
+    # (MAP/train.py:807-809)
+    mine0 = float(L.multi_head_loss(jheads, jnp.asarray(t), base, dec_lam=-0.8,
+                                    token_distillation=False))
+    ref0 = _torch_map_loss([h[0] for h in theads], torch.from_numpy(t), -0.8).item()
+    assert abs(mine0 - ref0) < 2e-4, (mine0, ref0)
+
+
 @pytest.mark.parametrize("pairs", [False, True])
 def test_multi_head_loss_matches_reference(pairs):
     rng = np.random.default_rng(7)

@@ -138,3 +138,36 @@ def test_maphead_train_output_structure():
     for org, avg in out:
         assert org.shape == (2, 11) and avg.shape == (2, 11)
     assert "batch_stats" in mutated
+
+
+def test_normhead_pre_logits_parity(parity_tol):
+    """Per-token pre_logits path vs the torch formula (map.py:402-412):
+    (B, nt, classes) partial logits, no bias; summing over tokens and adding
+    the fc bias reconstructs the full logits exactly."""
+    nt, ch, num_classes, b = 3, 48, 17, 4
+    tmodel = ref_map.NormHead(ch, num_classes, drop=0.0, nt=nt)
+    tmodel.eval()
+    gen = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+
+    jmodel = jheads.NormHead(num_classes, drop=0.0, nt=nt)
+    x = np.random.default_rng(6).standard_normal((b, ch)).astype(np.float32)
+    variables = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    translate = RuleTranslator(MAP_HEAD_RULES)
+    variables = convert_torch_state_dict(sd, variables, translate, strict=True)
+
+    with torch.no_grad():
+        t_full = tmodel(torch.from_numpy(x)).numpy()
+        t_pre = tmodel(torch.from_numpy(x), pre_logits=True).numpy()
+    j_full = np.asarray(jmodel.apply(variables, jnp.asarray(x)))
+    j_pre = np.asarray(jmodel.apply(variables, jnp.asarray(x), pre_logits=True))
+
+    assert j_pre.shape == (b, nt, num_classes)
+    np.testing.assert_allclose(j_full, t_full, **parity_tol)
+    np.testing.assert_allclose(j_pre, t_pre, **parity_tol)
+    bias = sd["head.bias"]
+    np.testing.assert_allclose(j_pre.sum(axis=1) + bias, j_full,
+                               rtol=1e-4, atol=1e-4)

@@ -40,6 +40,8 @@ parser.add_argument("--initial-checkpoint", default="", type=str,
                     help=".pth.tar (torch) or orbax dir to load weights from")
 parser.add_argument("--resume", default="", type=str,
                     help="orbax checkpoint dir to resume full state from")
+parser.add_argument("-ri", "--resume-id", default=None, type=str,
+                    help="wandb run id to resume logging into (MAP/train.py:412-416)")
 parser.add_argument("-fp", "--finetuning-checkpoint", default="", type=str,
                     help="torch .pth.tar to fine-tune from (head fc dropped or remapped)")
 parser.add_argument("-pt", "--in21k-to-in1k", action="store_true", default=False,
@@ -204,9 +206,30 @@ def run(args, args_text: str):
     mean = tuple(args.mean) if args.mean else cfg["mean"]
     std = tuple(args.std) if args.std else cfg["std"]
 
+    if args.jsd_loss:
+        # reference: JSD requires --aug-splits > 1 (GA/train.py:613-615 via
+        # timm); aug splits are not implemented here — fail loudly instead of
+        # silently training with a different objective.
+        raise NotImplementedError(
+            "--jsd-loss requires augmentation splits, which (as in the "
+            "reference recipes, none of which use it) are not supported; "
+            "remove the flag or use --bce-loss/--smoothing")
+    drop_path = args.drop_path
+    if args.drop_connect is not None:
+        # timm maps the deprecated --drop-connect onto drop_path with a warning
+        _logger.warning("--drop-connect is deprecated; using it as drop-path rate")
+        if drop_path is None:
+            drop_path = args.drop_connect
+
     dtype = jnp.bfloat16 if args.amp else None
+    model_kwargs = {}
+    if args.distill_tokens:
+        # extra distill tokens in every CAP; training emits 3-output heads
+        # consumed by the distill loss branch (MAP/train.py:797-806)
+        model_kwargs["distill_tokens"] = args.distill_tokens
     model = create_model(args.model, num_classes=num_classes,
-                         drop_rate=args.drop, drop_path_rate=args.drop_path, dtype=dtype)
+                         drop_rate=args.drop, drop_path_rate=drop_path, dtype=dtype,
+                         **model_kwargs)
 
     # batch geometry (MAP/train.py:406 semantics; world == n_devices)
     per_dev = args.batch_size
@@ -235,6 +258,7 @@ def run(args, args_text: str):
         dataset_train, input_size, global_batch, is_training=True,
         interpolation=args.train_interpolation or interpolation,
         mean=mean, std=std, auto_augment=args.aa, hflip=args.hflip,
+        vflip=args.vflip, color_jitter=args.color_jitter,
         reprob=args.reprob, remode=args.remode, recount=args.recount,
         scale=tuple(args.scale), ratio=tuple(args.ratio), mixup_fn=mixup_fn,
         num_workers=args.workers, seed=args.seed, repeats=args.aug_repeats)
@@ -314,7 +338,8 @@ def run(args, args_text: str):
                                mixup_active=mixup_active)
     dec_lam = args.GA_lam if args.GA_lam is not None else args.dec_lam
     step_fn = make_train_step(model, tx, base_loss, dec_lam=dec_lam,
-                              ema_decay=ema_decay, grad_accum=grad_accum, mesh=mesh)
+                              ema_decay=ema_decay, grad_accum=grad_accum, mesh=mesh,
+                              token_distillation=bool(args.token_distillation))
     eval_step = make_eval_step(model, mesh=mesh)
     eval_step_ema = make_eval_step(model, mesh=mesh, use_ema=True) if ema_decay else None
 
@@ -331,11 +356,15 @@ def run(args, args_text: str):
         from imagenet_models_tpu.utils.meters import init_wandb
 
         log_wandb = init_wandb(f"{args.project_name}_{os.path.basename(args.data_dir).lower()}",
-                               run_name, vars(args))
+                               run_name, vars(args), resume_id=args.resume_id)
 
+    # timm semantics: the run is cosine-cycle length + cooldown epochs; the
+    # cosine schedule holds min_lr over the cooldown tail (timm train.py
+    # num_epochs = get_cycle_length() + cooldown_epochs)
+    num_epochs = args.epochs + (args.cooldown_epochs if args.sched == "cosine" else 0)
     best_metric, best_epoch = None, None
     try:
-        for epoch in range(start_epoch, args.epochs):
+        for epoch in range(start_epoch, num_epochs):
             loader_train.set_epoch(epoch)
             mixup_off = bool(args.mixup_off_epoch and epoch >= args.mixup_off_epoch)
             state, rng, train_metrics = train_one_epoch(
@@ -380,12 +409,26 @@ def run(args, args_text: str):
 
 
 class _truncate:
-    """Wrap a loader to cap steps per epoch (smoke/bench runs)."""
+    """Wrap a loader to cap steps per epoch (smoke/bench runs).
+
+    Reads AND writes of loader attributes (batch_size, mixup_enabled, ...)
+    are forwarded to the wrapped loader so engine-side toggles like
+    `--mixup-off-epoch` reach the real DataLoader."""
+
+    _own = ("loader", "max_steps")
 
     def __init__(self, loader, max_steps):
-        self.loader, self.max_steps = loader, max_steps
-        self.batch_size = getattr(loader, "batch_size", None)
-        self.mixup_enabled = getattr(loader, "mixup_enabled", False)
+        object.__setattr__(self, "loader", loader)
+        object.__setattr__(self, "max_steps", max_steps)
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
+
+    def __setattr__(self, name, value):
+        if name in self._own:
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self.loader, name, value)
 
     def __len__(self):
         n = len(self.loader)

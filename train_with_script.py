@@ -58,7 +58,10 @@ def main():
         for model in multi_args.model_name:
             args.model = model
             args.resume = multi_args.resume or ""
+            args.resume_id = multi_args.resume_id
             args.initial_checkpoint = multi_args.initial_checkpoint or ""
+            args.finetuning_checkpoint = multi_args.finetuning_checkpoint or ""
+            args.in21k_to_in1k = multi_args.in21k_to_in1k
             args.seed = multi_args.seed
             args.eval_epoch = multi_args.eval_epoch
             args.early_stop = multi_args.early_stop

@@ -109,14 +109,36 @@ def validate_once(args):
             variables = load_variables_from_torch(args.model, variables,
                                                   args.checkpoint, use_ema=args.use_ema)
         else:
-            variables, _ = resume_checkpoint(args.checkpoint, variables)
+            variables, _ = resume_checkpoint(args.checkpoint, variables,
+                                             use_ema=args.use_ema)
         _logger.info("loaded %s", args.checkpoint)
     param_count = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     _logger.info("Model %s created, param count: %d", args.model, param_count)
     variables = replicate(variables, mesh)
 
-    # eval fn returns per-head logits stacked: (B, n_heads, classes)
+    # eval fn returns per-head logits stacked: (B, n_heads, classes).
+    # In logit-extraction mode, heads that support the per-token pre_logits
+    # path (NormHead, map.py:402-412) instead return (B, n_heads, nt, classes)
+    # per-token partial logits WITHOUT bias; full logits are reconstructed as
+    # sum-over-tokens + fc bias (the reference dump's layout,
+    # MAP/validate.py:261-273,328-338).
+    import inspect
+
+    use_pre_logits = False
+    if args.extract_logits:
+        use_pre_logits = "pre_logits" in inspect.signature(
+            type(model).__call__).parameters
+        if use_pre_logits:
+            probe = jax.eval_shape(
+                lambda v, x: model.apply(v, x, training=False, pre_logits=True),
+                variables, x0)
+            use_pre_logits = (isinstance(probe, (tuple, list))
+                              and all(getattr(p, "ndim", 0) == 3 for p in probe))
+
     def fwd(variables, images):
+        if use_pre_logits:
+            out = model.apply(variables, images, training=False, pre_logits=True)
+            return jnp.stack([o.astype(jnp.float32) for o in out], axis=1)
         out = model.apply(variables, images, training=False)
         if not isinstance(out, (tuple, list)):
             out = (out,)
@@ -124,6 +146,23 @@ def validate_once(args):
 
     eval_fn = jax.jit(fwd, in_shardings=(replicated(mesh), batch_sharding(mesh)),
                       out_shardings=batch_sharding(mesh))
+
+    head_biases = None
+    if use_pre_logits:
+        # per-head fc biases in group order (reference `bias` list,
+        # MAP/validate.py:233-237)
+        import jax as _jax
+
+        found = {}
+
+        def _collect(path, leaf):
+            p = "/".join(str(getattr(k, "key", k)) for k in path)
+            m = [seg for seg in p.split("/") if seg.startswith("heads_")]
+            if m and p.endswith("head/bias"):
+                found[int(m[0].split("_")[1])] = np.asarray(leaf, np.float32)
+
+        _jax.tree_util.tree_map_with_path(_collect, variables["params"])
+        head_biases = [found[k] for k in sorted(found)] if found else None
 
     dataset = create_dataset(args.data, args.split, num_classes=num_classes,
                              image_size=img_size)
@@ -158,7 +197,14 @@ def validate_once(args):
             pad = batch - n
             images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
         heads = np.asarray(eval_fn(variables, jnp.asarray(images)))[:n]
-        logits = heads.mean(axis=1)
+        if use_pre_logits:
+            # (B, G, nt, C) token partials -> full per-head logits
+            per_head = heads.sum(axis=2)
+            if head_biases is not None:
+                per_head = per_head + np.stack(head_biases)
+            logits = per_head.mean(axis=1)
+        else:
+            logits = heads.mean(axis=1)
         if all_logits is not None:
             all_logits.append(heads)
         if valid_idx is not None:
@@ -200,8 +246,13 @@ def validate_once(args):
                 biases[p] = np.asarray(leaf)
 
         _jax.tree_util.tree_map_with_path(visit, variables["params"])
+        extra = {f"bias::{k}": v for k, v in biases.items()}
+        if head_biases is not None:
+            # reference layout: ordered per-head fc bias list
+            # (MAP/validate.py:328-338 {'logit':..., 'bias': [...]})
+            extra["head_biases"] = np.stack(head_biases)
         np.savez(args.extract_logits, logits=np.concatenate(all_logits),
-                 **{f"bias::{k}": v for k, v in biases.items()})
+                 per_token=np.asarray(use_pre_logits), **extra)
         _logger.info("wrote logits for %d images to %s", seen, args.extract_logits)
 
     dt = time.time() - t_start
