@@ -111,6 +111,149 @@ def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6
     return out.reshape(b, hh, ww, c)
 
 
+def _gelu_grad(x):
+    """d/dx exact-erf GELU, with the A&S erf polynomial (fp32)."""
+    inv_sqrt2 = 2.0 ** -0.5
+    inv_sqrt2pi = 0.3989422804014327
+    return 0.5 * (1.0 + _erf_poly(x * inv_sqrt2)) + x * inv_sqrt2pi * jnp.exp(-0.5 * x * x)
+
+
+def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, gamma_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref,
+                db1_ref, dw2_ref, db2_ref, dgamma_ref, *, eps: float):
+    """One token tile of the LN->MLP->scale backward.
+
+    Recomputes the forward from the tile of `h` (nothing saved to HBM), then
+    pulls the cotangent back through scale, MLP and LN. Weight/vector grads
+    accumulate across grid steps into a single shared block (grid steps are
+    sequential on TPU, so read-modify-write on the revolving output block is
+    safe); dx is written per-tile.
+    """
+    i = pl.program_id(0)
+    cdt = h_ref.dtype  # compute dtype of the matmuls (matches forward)
+
+    # ---- recompute forward (fp32 statistics, matmuls fp32-accumulated) ----
+    hf = h_ref[:].astype(jnp.float32)  # (T, C)
+    mu = hf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (hf - mu) * rstd
+    ln = xhat * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    tokens = ln.astype(cdt)
+    pre1 = jnp.dot(tokens, w1_ref[:], preferred_element_type=jnp.float32)
+    pre1 = pre1 + b1_ref[:].astype(jnp.float32)
+    hmid = (0.5 * pre1 * (1.0 + _erf_poly(pre1 * (2 ** -0.5))))
+    hmid_c = hmid.astype(cdt)
+    pre2 = jnp.dot(hmid_c, w2_ref[:], preferred_element_type=jnp.float32)
+    pre2 = pre2 + b2_ref[:].astype(jnp.float32)
+
+    g = g_ref[:].astype(jnp.float32)  # (T, C)
+    gam = gamma_ref[:].astype(jnp.float32)
+
+    # out = pre2 * gamma
+    dgamma_p = jnp.sum(g * pre2, axis=0, keepdims=True)
+    dpre2 = g * gam  # (T, C) fp32
+    db2_p = jnp.sum(dpre2, axis=0, keepdims=True)
+    dw2_p = jnp.dot(hmid_c.T, dpre2.astype(cdt), preferred_element_type=jnp.float32)
+    dhmid = jnp.dot(dpre2.astype(cdt), w2_ref[:].T, preferred_element_type=jnp.float32)
+
+    dpre1 = dhmid * _gelu_grad(pre1)
+    db1_p = jnp.sum(dpre1, axis=0, keepdims=True)
+    dw1_p = jnp.dot(tokens.T, dpre1.astype(cdt), preferred_element_type=jnp.float32)
+    dln = jnp.dot(dpre1.astype(cdt), w1_ref[:].T, preferred_element_type=jnp.float32)
+
+    dlns_p = jnp.sum(dln * xhat, axis=0, keepdims=True)
+    dlnb_p = jnp.sum(dln, axis=0, keepdims=True)
+    dxhat = dln * lns_ref[:].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dlns_ref[:] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
+
+    dlns_ref[:] += dlns_p
+    dlnb_ref[:] += dlnb_p
+    dw1_ref[:] += dw1_p
+    db1_ref[:] += db1_p
+    dw2_ref[:] += dw2_p
+    db2_ref[:] += db2_p
+    dgamma_ref[:] += dgamma_p
+
+
+def _bwd_tile(n: int, c: int, hidden: int) -> int:
+    """Token tile for the backward kernel: VMEM holds two weight mats, two
+    fp32 weight-grad mats and the (T, hidden) fp32 activations — size the
+    tile so the total stays well under the per-core budget."""
+    budget = 64 << 20
+    fixed = 2 * c * hidden * (2 + 4)  # w bf16 + dw fp32
+    per_tok = hidden * 4 * 2 + c * (4 * 3 + 2 * 2)
+    t = max(256, min(int(os.environ.get("IMTPU_LNMLP_BWD_TILE", "1024")),
+                     (budget - fixed) // max(per_tok, 1)))
+    t = min(t, n)
+    t -= t % 8 if t % 8 and t > 8 else 0
+    if n % t:
+        t = n
+        for d in range(min(t, 2048), 7, -8):
+            if n % d == 0:
+                t = d
+                break
+    return t
+
+
+def _fused_ln_mlp_bwd_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, g,
+                             eps: float = 1e-6):
+    b, hh, ww, cc = h.shape
+    n = b * hh * ww
+    hidden = w1.shape[-1]
+    tile = _bwd_tile(n, cc, hidden)
+    tokens = h.reshape(n, cc)
+    gflat = g.reshape(n, cc)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    accum = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, cc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((cc,)), full((cc,)), full((cc, hidden)), full((hidden,)),
+            full((hidden, cc)), full((cc,)), full((cc,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, cc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            accum((1, cc)), accum((1, cc)), accum((cc, hidden)), accum((1, hidden)),
+            accum((hidden, cc)), accum((1, cc)), accum((1, cc)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, cc), h.dtype),
+            jax.ShapeDtypeStruct((1, cc), f32), jax.ShapeDtypeStruct((1, cc), f32),
+            jax.ShapeDtypeStruct((cc, hidden), f32), jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, cc), f32), jax.ShapeDtypeStruct((1, cc), f32),
+            jax.ShapeDtypeStruct((1, cc), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(tokens, gflat, ln_s, ln_b, w1.astype(h.dtype), b1, w2.astype(h.dtype), b2, gamma)
+    dx, dlns, dlnb, dw1, db1, dw2, db2, dgamma = outs
+    shape_of = lambda ref, v: v.reshape(ref.shape).astype(ref.dtype)
+    return (dx.reshape(h.shape),
+            shape_of(ln_s, dlns), shape_of(ln_b, dlnb),
+            shape_of(w1, dw1), shape_of(b1, db1),
+            shape_of(w2, dw2), shape_of(b2, db2),
+            shape_of(gamma, dgamma))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
     return _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
@@ -121,7 +264,14 @@ def _fwd(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps):
     return out, (h, ln_s, ln_b, w1, b1, w2, b2, gamma)
 
 
+# fused Pallas backward (keeps the (T, 4C) activations in VMEM); plain-ops
+# VJP fallback with IMTPU_FUSED_BWD=0
+_FUSED_BWD = os.environ.get("IMTPU_FUSED_BWD", "1") != "0"
+
+
 def _bwd(eps, residuals, g):
+    if _FUSED_BWD:
+        return _fused_ln_mlp_bwd_pallas(*residuals, g, eps=eps)
     _, vjp = jax.vjp(lambda *a: plain_ln_mlp(*a, eps=eps), *residuals)
     return vjp(g)
 

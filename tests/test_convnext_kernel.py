@@ -1,0 +1,93 @@
+"""Parity tests for the fused ConvNeXt LN+MLP Pallas kernel (forward and
+custom backward) against the plain-ops composition, in TPU-interpret mode so
+they run on any host. The plain path itself is parity-tested against torch in
+tests/test_models_convnext.py; these tests pin kernel == plain.
+
+Everything is pinned to a CPU device: interpret-mode pallas_call lowers to
+plain JAX ops, and running those over the tunneled TPU hangs (the interpreter
+round-trips per op). CPU + highest matmul precision is exact enough here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from imagenet_models_tpu.ops import convnext_block as cb
+
+_CPU = jax.devices("cpu")[0]
+
+
+@pytest.fixture(autouse=True)
+def _on_cpu():
+    with jax.default_device(_CPU):
+        yield
+
+
+def _args(c: int, n_tokens: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    hid = 4 * c
+    side = int(np.sqrt(n_tokens // 2))
+    h = jnp.asarray(rng.standard_normal((2, side, side, c)), jnp.float32)
+    return (
+        h,
+        jnp.asarray(rng.standard_normal(c), jnp.float32),
+        jnp.asarray(rng.standard_normal(c), jnp.float32),
+        jnp.asarray(rng.standard_normal((c, hid)) * 0.05, jnp.float32),
+        jnp.asarray(rng.standard_normal(hid) * 0.01, jnp.float32),
+        jnp.asarray(rng.standard_normal((hid, c)) * 0.05, jnp.float32),
+        jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32),
+        jnp.asarray(rng.standard_normal(c), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("c", [96, 128])
+def test_fused_forward_matches_plain(c):
+    args = _args(c, 128)
+    with jax.default_matmul_precision("highest"):
+        ref = cb.plain_ln_mlp(*args)
+        with pltpu.force_tpu_interpret_mode():
+            got = cb._fused_ln_mlp_pallas(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_tokens", [128, 512])
+def test_fused_backward_matches_plain_vjp(n_tokens, monkeypatch):
+    # small tile forces multi-step grid accumulation on the 512-token case
+    monkeypatch.setenv("IMTPU_LNMLP_BWD_TILE", "256")
+    c = 96
+    args = _args(c, n_tokens, seed=1)
+    g = jnp.asarray(np.random.default_rng(2).standard_normal(args[0].shape),
+                    jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        _, vjp = jax.vjp(lambda *a: cb.plain_ln_mlp(*a, eps=1e-6), *args)
+        ref = vjp(g)
+        with pltpu.force_tpu_interpret_mode():
+            got = cb._fused_ln_mlp_bwd_pallas(*args, g, eps=1e-6)
+    names = ["dx", "dln_s", "dln_b", "dw1", "db1", "dw2", "db2", "dgamma"]
+    for nm, r, o in zip(names, ref, got):
+        r, o = np.asarray(r), np.asarray(o)
+        assert o.shape == r.shape, nm
+        np.testing.assert_allclose(o, r, rtol=3e-5, atol=3e-5, err_msg=nm)
+
+
+def test_custom_vjp_wires_fused_backward(monkeypatch):
+    """jax.grad through fused_ln_mlp (interpret mode) == grad of plain ops."""
+    args = _args(96, 128, seed=3)
+
+    def loss_fused(*a):
+        return jnp.sum(cb.fused_ln_mlp(*a) ** 2)
+
+    def loss_plain(*a):
+        return jnp.sum(cb.plain_ln_mlp(*a) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        ref = jax.grad(loss_plain, argnums=tuple(range(8)))(*args)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=5e-5, atol=5e-5)
