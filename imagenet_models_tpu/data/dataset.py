@@ -64,12 +64,42 @@ class SyntheticDataset:
         return Image.fromarray(arr, "RGB"), int(index % self.num_classes)
 
 
+class SyntheticClassDataset(SyntheticDataset):
+    """Learnable synthetic data: each class is a fixed low-frequency pattern
+    (8x8 color grid upsampled) blended with per-sample noise. The class
+    signal is global and low-frequency so it survives RandomResizedCrop,
+    flips and RandAugment — suitable for convergence evidence (BASELINE
+    config #2 shape) without ImageNet on disk. The validation split draws
+    noise from a disjoint seed range, so val top-1 measures generalization
+    to unseen samples of each class, not memorization."""
+
+    def __init__(self, length: int = 10000, num_classes: int = 1000,
+                 image_size: int = 224, seed_offset: int = 0):
+        super().__init__(length, num_classes, image_size)
+        self.seed_offset = seed_offset
+
+    def load(self, index: int) -> Tuple[Image.Image, int]:
+        label = int(index % self.num_classes)
+        tmpl = np.random.default_rng(1_000_003 + label).integers(
+            0, 256, (8, 8, 3), dtype=np.uint8)
+        tmpl = np.asarray(Image.fromarray(tmpl, "RGB").resize(
+            (self.image_size, self.image_size), Image.BILINEAR), np.float32)
+        noise = np.random.default_rng(self.seed_offset + index).normal(
+            0.0, 24.0, tmpl.shape)
+        arr = np.clip(tmpl + noise, 0, 255).astype(np.uint8)
+        return Image.fromarray(arr, "RGB"), label
+
+
 def create_dataset(name_or_root: str, split: str = "train",
                    num_classes: int = 1000, image_size: int = 224):
     if name_or_root.startswith(("synthetic", "fake")):
         length = 10000
         if ":" in name_or_root:
             length = int(name_or_root.split(":", 1)[1])
+        if name_or_root.startswith("synthetic-cls"):
+            return SyntheticClassDataset(
+                length=length, num_classes=num_classes, image_size=image_size,
+                seed_offset=0 if split == "train" else 777_000_017)
         return SyntheticDataset(length=length, num_classes=num_classes,
                                 image_size=image_size)
     candidates = [os.path.join(name_or_root, split)]
