@@ -49,15 +49,28 @@ def gram_triu_normalize(x: jnp.ndarray, scale: float, interleave: int = 1) -> jn
     The matmul runs in fp32 at HIGHEST precision on the MXU; with the
     subsequent L2 normalization this matches the reference's fp64 path to well
     below bf16 resolution (the global scale cancels in the normalize).
+
+    bf16 fast path: when the activations are already bf16 (the production
+    compute dtype), a single-pass MXU matmul with fp32 accumulation computes
+    every product EXACTLY (bf16*bf16 is exact in fp32) — identical numerics
+    to the 6-pass HIGHEST decomposition at 1/6th the MXU cost. The 1/(h*w)
+    scale moves after the product (s*x)'(s*x) == s^2 * x'x, avoiding
+    non-representable pre-scaled inputs.
     """
     b, n, c = x.shape
-    xf = x.astype(jnp.float32) * scale
-    gram = jax.lax.dot_general(
-        xf, xf,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (B, C, C)
+    dims = (((1,), (1,)), ((0,), (0,)))
+    if x.dtype == jnp.bfloat16:
+        gram = jax.lax.dot_general(x, x, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+        gram = gram * jnp.float32(scale * scale)
+    else:
+        xf = x.astype(jnp.float32) * scale
+        gram = jax.lax.dot_general(
+            xf, xf,
+            dimension_numbers=dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (B, C, C)
     iu0, iu1 = np.triu_indices(c)
     flat = gram.reshape(b, c * c)[:, iu0 * c + iu1]
     norm = jnp.sqrt(jnp.sum(jnp.square(flat), axis=-1, keepdims=True))

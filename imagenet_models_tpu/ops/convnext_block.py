@@ -78,21 +78,34 @@ def _kernel(h_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 import os
 
-_TILE = int(os.environ.get("IMTPU_LNMLP_TILE", "2048"))
+
+def _fwd_tile(n: int, c: int, hidden: int) -> int:
+    """Forward token tile sized against scoped VMEM: bigger tiles amortize
+    per-grid-step overhead for small C (stage 1 is 4x the tokens of stage 3
+    at 1/16th the per-token VMEM)."""
+    budget = 72 << 20
+    fixed = 2 * (2 * c * hidden * 2)  # w1/w2 bf16, double-buffered
+    per_tok = hidden * (4 + 2) + c * (4 * 3 + 2 * 4)
+    cap = (budget - fixed) // max(per_tok, 1)
+    t = max(256, min(int(os.environ.get("IMTPU_LNMLP_TILE", "8192")), cap))
+    t = min(t, n)
+    if t % 8 and t > 8:
+        t -= t % 8
+    if n % t:
+        largest = 8
+        for d in range(t, 7, -8):
+            if n % d == 0:
+                largest = d
+                break
+        t = largest if n % largest == 0 else n
+    return t
 
 
 def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
     b, hh, ww, c = h.shape
     n = b * hh * ww
     hidden = w1.shape[-1]
-    # token tile: multiple of 8 sublanes dividing n, else the whole array
-    tile = min(_TILE, n)
-    if n % tile:
-        tile = n
-        for d in range(min(_TILE, n - n % 8), 7, -8):
-            if n % d == 0:
-                tile = d
-                break
+    tile = _fwd_tile(n, c, hidden)
     tokens = h.reshape(n, c)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -152,15 +165,27 @@ def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
     # out = pre2 * gamma
     dgamma_p = jnp.sum(g * pre2, axis=0, keepdims=True)
+    # contracted-dim dot_generals: never materialize a transposed operand
+    # (an in-kernel .T of a (T, 4C) matrix costs a full VMEM relayout)
     dpre2 = g * gam  # (T, C) fp32
     db2_p = jnp.sum(dpre2, axis=0, keepdims=True)
-    dw2_p = jnp.dot(hmid_c.T, dpre2.astype(cdt), preferred_element_type=jnp.float32)
-    dhmid = jnp.dot(dpre2.astype(cdt), w2_ref[:].T, preferred_element_type=jnp.float32)
+    dpre2_c = dpre2.astype(cdt)
+    dw2_p = jax.lax.dot_general(  # (4C, T) x (T, C) -> contract T
+        hmid_c, dpre2_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dhmid = jax.lax.dot_general(  # (T, C) x (4C, C) -> contract C
+        dpre2_c, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     dpre1 = dhmid * _gelu_grad(pre1)
     db1_p = jnp.sum(dpre1, axis=0, keepdims=True)
-    dw1_p = jnp.dot(tokens.T, dpre1.astype(cdt), preferred_element_type=jnp.float32)
-    dln = jnp.dot(dpre1.astype(cdt), w1_ref[:].T, preferred_element_type=jnp.float32)
+    dpre1_c = dpre1.astype(cdt)
+    dw1_p = jax.lax.dot_general(
+        tokens, dpre1_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dln = jax.lax.dot_general(
+        dpre1_c, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     dlns_p = jnp.sum(dln * xhat, axis=0, keepdims=True)
     dlnb_p = jnp.sum(dln, axis=0, keepdims=True)
@@ -190,22 +215,28 @@ def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
 
 def _bwd_tile(n: int, c: int, hidden: int) -> int:
-    """Token tile for the backward kernel: VMEM holds two weight mats, two
-    fp32 weight-grad mats and the (T, hidden) fp32 activations — size the
-    tile so the total stays well under the per-core budget."""
-    budget = 64 << 20
-    fixed = 2 * c * hidden * (2 + 4)  # w bf16 + dw fp32
-    per_tok = hidden * 4 * 2 + c * (4 * 3 + 2 * 2)
-    t = max(256, min(int(os.environ.get("IMTPU_LNMLP_BWD_TILE", "1024")),
-                     (budget - fixed) // max(per_tok, 1)))
+    """Token tile for the backward kernel, sized against scoped VMEM.
+
+    Fixed residents (double-buffered by the pipeline): w1/w2 in bf16 and
+    dw1/dw2 in fp32. Per-token: three fp32 (T, hidden) intermediates
+    (pre1, gelu'd, dhmid) + bf16 copies, several fp32 (T, C) temporaries and
+    the double-buffered h/g/dx tiles. Estimated against the 100MB scoped
+    limit with ~12% headroom (v5e VMEM is 128MB/core)."""
+    budget = 88 << 20
+    fixed = 2 * (2 * c * hidden * 2) + 2 * (2 * c * hidden * 4)
+    per_tok = hidden * (4 * 3 + 2 * 2) + c * (4 * 8 + 2 * 6)
+    cap = (budget - fixed) // max(per_tok, 1)
+    t = max(64, min(int(os.environ.get("IMTPU_LNMLP_BWD_TILE", "1024")), cap))
     t = min(t, n)
-    t -= t % 8 if t % 8 and t > 8 else 0
+    if t % 8 and t > 8:
+        t -= t % 8
     if n % t:
-        t = n
-        for d in range(min(t, 2048), 7, -8):
+        largest = 8
+        for d in range(t, 7, -8):
             if n % d == 0:
-                t = d
+                largest = d
                 break
+        t = largest if n % largest == 0 else n
     return t
 
 

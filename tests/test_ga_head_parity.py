@@ -124,3 +124,15 @@ def test_gram_triu_normalize_matches_reference():
     tokens = jnp.asarray(x.transpose(0, 2, 3, 1).reshape(B, H * W, C))
     out = np.asarray(gram_triu_normalize(tokens, scale=1.0 / H))
     np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_gram_bf16_fast_path_matches_highest():
+    """The single-pass bf16 gram (production dtype) must equal the fp32
+    HIGHEST 6-pass path on the same bf16-valued inputs: bf16*bf16 products
+    are exact in fp32, so only accumulation-order noise remains."""
+    rng = np.random.default_rng(9)
+    B, N, C = 2, 49, 96
+    xb = jnp.asarray(rng.standard_normal((B, N, C)), jnp.bfloat16)
+    fast = np.asarray(gram_triu_normalize(xb, scale=1.0 / 7))
+    slow = np.asarray(gram_triu_normalize(xb.astype(jnp.float32), scale=1.0 / 7))
+    np.testing.assert_allclose(fast, slow, rtol=2e-6, atol=2e-6)
