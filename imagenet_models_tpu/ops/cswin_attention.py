@@ -83,10 +83,28 @@ class LePEAttention(nn.Module):
         lepe = to_heads(lepe.reshape(-1, hs * ws, c))
         vw = to_heads(vw_sp.reshape(-1, hs * ws, c))
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", qw, kw)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw) + lepe
+        import os
+
+        # Default is the XLA batched path: measured A/B on v5e (ga_cswin_tiny
+        # 224 eval, scripts/bench_cswin.py) gives XLA 1589 img/s vs 1137-1172
+        # for the fused per-window Pallas kernel — stripe windows are 56-98
+        # tokens and the per-window grid overhead + small-dot inefficiency
+        # outweighs the saved score-matrix HBM traffic. IMTPU_FLASH_ATTN=1
+        # opts into the kernel (ops/flash_attention.py) for re-evaluation.
+        if (self.attn_drop > 0 and not deterministic) or \
+                os.environ.get("IMTPU_FLASH_ATTN", "0") != "1":
+            # prob-dropout needs the materialized attention matrix
+            attn = jnp.einsum("bhnd,bhmd->bhnm", qw, kw)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw) + lepe
+        else:
+            from imagenet_models_tpu.ops.flash_attention import window_attention
+
+            bw, nh_, n_, d_ = qw.shape
+            flat = lambda t: t.reshape(bw * nh_, n_, d_)
+            out = window_attention(flat(qw), flat(kw), flat(vw))
+            out = out.reshape(bw, nh_, n_, d_) + lepe
         out = out.transpose(0, 2, 1, 3).reshape(-1, hs * ws, c)
         return windows2img(out, hs, ws, h, w)
 

@@ -130,16 +130,40 @@ class AttentionCl(nn.Module):
         qkv = qkv.reshape(b, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (d ** -0.5), k)
+        import os
+
+        bias = None
         if self.rel_pos_type == "bias_tf":
             bias = RelPosBiasTf(self.window_size, nh, name="rel_pos")()
-            attn = attn + bias.astype(attn.dtype)
         elif self.rel_pos_type == "bias":
             bias = RelPosBias(self.window_size, nh, name="rel_pos")()
-            attn = attn + bias.astype(attn.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+        # opt-in only: XLA's batched attention measured faster at these
+        # window sizes (see ops/cswin_attention.py for the recorded A/B)
+        use_flash = not (self.attn_drop > 0 and not deterministic) and \
+            os.environ.get("IMTPU_FLASH_ATTN", "0") == "1"
+        if use_flash:
+            from imagenet_models_tpu.ops.flash_attention import (
+                window_attention,
+                window_attention_heads,
+            )
+
+            qs = (q * (d ** -0.5)).astype(q.dtype)
+            if bias is not None:
+                # per-head shared rel-pos bias fused in-kernel (never
+                # broadcast to the window batch in HBM)
+                out = window_attention_heads(qs, k, v, bias.astype(jnp.float32))
+            else:
+                flat = lambda t: t.reshape(b * nh, n, d)
+                out = window_attention(flat(qs), flat(k), flat(v))
+                out = out.reshape(b, nh, n, d)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (d ** -0.5), k)
+            if bias is not None:
+                attn = attn + bias.astype(attn.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(*lead, dim_attn)
         out = Dense(dim_out, use_bias=self.bias, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
