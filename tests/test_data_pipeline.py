@@ -83,3 +83,36 @@ def test_loader_end_to_end_synthetic():
     evb = list(ev)
     assert len(evb) == 3 and evb[-1][0].shape[0] == 4
     assert evb[0][1].dtype == np.int64
+
+
+def test_synthetic_cls_learnable_and_disjoint():
+    """synthetic-cls: val images use unseen noise but the same class
+    templates — nearest-template classification on raw val images must be
+    perfect (the convergence run's task is learnable by construction)."""
+    import numpy as np
+
+    from imagenet_models_tpu.data.dataset import create_dataset
+
+    tr = create_dataset("synthetic-cls:400", "train", num_classes=10, image_size=32)
+    va = create_dataset("synthetic-cls:400", "validation", num_classes=10, image_size=32)
+    # same index, same label, different pixels (disjoint noise seeds)
+    im_t, lab_t = tr.load(7)
+    im_v, lab_v = va.load(7)
+    assert lab_t == lab_v
+    assert np.abs(np.asarray(im_t, np.float32) - np.asarray(im_v, np.float32)).mean() > 1
+
+    tmpls = []
+    for c in range(10):
+        acc = np.zeros((32, 32, 3), np.float64)
+        for j in range(5):
+            img, lab = tr.load(c + 10 * j)
+            assert lab == c
+            acc += np.asarray(img, np.float64)
+        tmpls.append(acc / 5)
+    tmpls = np.stack(tmpls)
+    hits = 0
+    for i in range(100):
+        img, lab = va.load(i)
+        d = ((tmpls - np.asarray(img, np.float64)) ** 2).sum(axis=(1, 2, 3))
+        hits += int(np.argmin(d) == lab)
+    assert hits >= 98, hits
