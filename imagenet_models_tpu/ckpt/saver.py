@@ -131,8 +131,22 @@ def resume_checkpoint(path: str, target, use_ema: bool = False) -> Tuple[Any, in
 
 def export_pth_tar(variables: Dict[str, Any], model_name: str, out_path: str,
                    use_ema: bool = False):
-    """Write a reference-compatible .pth.tar from flax variables."""
+    """Write a reference-compatible .pth.tar from flax variables.
+
+    `variables` may be a bare {params[, batch_stats]} dict or a saved
+    TrainState tree (as restored by orbax); with use_ema the EMA weights are
+    exported (timm's --use-ema semantics)."""
     import torch
+
+    if "opt_state" in variables:  # TrainState-shaped tree
+        params = variables.get("ema_params") if use_ema else variables.get("params")
+        if use_ema and not params:
+            raise ValueError("use_ema: checkpoint has no EMA weights")
+        bs = (variables.get("ema_batch_stats") if use_ema else None) \
+            or variables.get("batch_stats") or {}
+        variables = {"params": params, **({"batch_stats": bs} if bs else {})}
+    elif use_ema:
+        raise ValueError("use_ema needs a TrainState-shaped checkpoint")
 
     from imagenet_models_tpu.ckpt.pretrained import translator_for
     from imagenet_models_tpu.ckpt.torch_convert import export_torch_state_dict
