@@ -140,3 +140,33 @@ def test_maxvit_ckpt_usable_at_new_resolution():
     flat96 = flatten_dict(v96b["params"])
     tables = [v for k, v in flat96.items() if "relative_position_bias_table" in k]
     assert tables and all(np.abs(np.asarray(t)).sum() > 0 for t in tables)
+
+
+def test_export_pth_tar_from_train_state(tmp_path):
+    """export_pth_tar accepts a saved TrainState tree and selects EMA weights
+    with use_ema (scripts/export_checkpoint.py path)."""
+    import optax
+    torch = pytest.importorskip("torch")
+
+    import imagenet_models_tpu.models  # noqa: F401
+    from imagenet_models_tpu import create_model
+    from imagenet_models_tpu.ckpt.saver import export_pth_tar
+    from imagenet_models_tpu.train.state import create_train_state
+
+    model = create_model("mobilenet_v1", num_classes=10)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                               training=False)
+    state = create_train_state(variables, optax.sgd(1e-3), ema_decay=0.9)
+    ema = jax.tree.map(lambda x: x + 1.0, state.params)
+    tree = {"step": 0, "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": (), "ema_params": ema, "ema_batch_stats": state.batch_stats}
+
+    p1 = str(tmp_path / "plain.pth.tar")
+    p2 = str(tmp_path / "ema.pth.tar")
+    export_pth_tar(tree, "mobilenet_v1", p1)
+    export_pth_tar(tree, "mobilenet_v1", p2, use_ema=True)
+    sd1 = torch.load(p1, map_location="cpu", weights_only=False)["state_dict"]
+    sd2 = torch.load(p2, map_location="cpu", weights_only=False)["state_dict"]
+    assert set(sd1) == set(sd2)
+    np.testing.assert_allclose(sd2["fc.bias"].numpy(), sd1["fc.bias"].numpy() + 1.0)
