@@ -77,13 +77,21 @@ class SyntheticClassDataset(SyntheticDataset):
                  image_size: int = 224, seed_offset: int = 0):
         super().__init__(length, num_classes, image_size)
         self.seed_offset = seed_offset
+        self._templates: dict = {}  # label -> fp32 image (idempotent fill)
+
+    def _template(self, label: int) -> np.ndarray:
+        t = self._templates.get(label)
+        if t is None:
+            t8 = np.random.default_rng(1_000_003 + label).integers(
+                0, 256, (8, 8, 3), dtype=np.uint8)
+            t = np.asarray(Image.fromarray(t8, "RGB").resize(
+                (self.image_size, self.image_size), Image.BILINEAR), np.float32)
+            self._templates[label] = t
+        return t
 
     def load(self, index: int) -> Tuple[Image.Image, int]:
         label = int(index % self.num_classes)
-        tmpl = np.random.default_rng(1_000_003 + label).integers(
-            0, 256, (8, 8, 3), dtype=np.uint8)
-        tmpl = np.asarray(Image.fromarray(tmpl, "RGB").resize(
-            (self.image_size, self.image_size), Image.BILINEAR), np.float32)
+        tmpl = self._template(label)
         noise = np.random.default_rng(self.seed_offset + index).normal(
             0.0, 24.0, tmpl.shape)
         arr = np.clip(tmpl + noise, 0, 255).astype(np.uint8)

@@ -87,7 +87,8 @@ def _fwd_tile(n: int, c: int, hidden: int) -> int:
     fixed = 2 * (2 * c * hidden * 2)  # w1/w2 bf16, double-buffered
     per_tok = hidden * (4 + 2) + c * (4 * 3 + 2 * 4)
     cap = (budget - fixed) // max(per_tok, 1)
-    t = max(256, min(int(os.environ.get("IMTPU_LNMLP_TILE", "8192")), cap))
+    # an explicit env value is honored (down to the 8-sublane floor)
+    t = max(8, min(int(os.environ.get("IMTPU_LNMLP_TILE", "8192")), max(256, cap)))
     t = min(t, n)
     if t % 8 and t > 8:
         t -= t % 8

@@ -71,7 +71,7 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     bw, n, d = q.shape
     np_ = _round_up(n, 8)
-    dp = _round_up(d, 128 if q.dtype != jnp.float32 else 128)
+    dp = _round_up(d, 128)
 
     if group <= 0:
         # amortize grid overhead; keep G * Np * Dp modest for VMEM

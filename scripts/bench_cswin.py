@@ -41,7 +41,8 @@ def main():
     ips = bs * iters / (time.perf_counter() - t0)
     print(json.dumps({
         "model": "ga_cswin_tiny", "mode": "eval",
-        "flash_attn": os.environ.get("IMTPU_FLASH_ATTN", "1") != "0",
+        # must mirror the opt-in gate in ops/cswin_attention.py
+        "flash_attn": os.environ.get("IMTPU_FLASH_ATTN", "0") == "1",
         "images_per_sec_per_chip": round(ips, 2), "batch": bs,
     }))
 

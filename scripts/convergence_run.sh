@@ -25,4 +25,4 @@ python train.py synthetic-cls:20000 \
   --output "$OUT" --experiment ga_convnext_t_in100_synth \
   2>&1 | tee "$OUT/train.log"
 echo "curve:"
-cat "$OUT"/*/summary.csv 2>/dev/null | tail -n +1
+cat "$OUT"/*/summary.csv 2>/dev/null || true

@@ -48,7 +48,8 @@ def main():
     s = args.image_size
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (args.batch_size, s, s, 3)), jnp.float32)
-    v = model.init(jax.random.PRNGKey(0), x[:1], training=False)
+    v = jax.jit(lambda k, x1: model.init(k, x1, training=False))(
+        jax.random.PRNGKey(0), x[:1])
 
     def flatten_heads(out):
         tot = 0.0
