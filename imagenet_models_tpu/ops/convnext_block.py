@@ -320,7 +320,15 @@ def plain_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
 
 def fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
                          eps: float = 1e-6):
-    h = dw_conv7(x, dw_w, dw_b)
+    # dw conv (fwd AND both grads) stays in XLA: a Pallas weight-grad kernel
+    # (ops/dw_conv.py, opt-in IMTPU_DW_WGRAD=1) measured SLOWER at every
+    # stage shape — see its docstring for the A/B
+    if os.environ.get("IMTPU_DW_WGRAD", "0") == "1":
+        from imagenet_models_tpu.ops.dw_conv import dw_conv7_opt
+
+        h = dw_conv7_opt(x, dw_w, dw_b)
+    else:
+        h = dw_conv7(x, dw_w, dw_b)
     return fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
 
 

@@ -90,25 +90,31 @@ def make_train_step(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def local_step(state: TrainState, images, targets, rng):
-        # per-shard microbatching
-        b = images.shape[0]
-        mb = b // grad_accum
-        images = images.reshape(grad_accum, mb, *images.shape[1:])
-        targets = targets.reshape(grad_accum, mb, *targets.shape[1:])
-        rngs = jax.random.split(rng, grad_accum)
+        if grad_accum == 1:
+            # no microbatching: skip the scan (and its zero-init + add pass
+            # over the full gradient tree)
+            (loss, batch_stats), grads = grad_fn(
+                state.params, state.batch_stats, images, targets, rng)
+        else:
+            # per-shard microbatching
+            b = images.shape[0]
+            mb = b // grad_accum
+            images = images.reshape(grad_accum, mb, *images.shape[1:])
+            targets = targets.reshape(grad_accum, mb, *targets.shape[1:])
+            rngs = jax.random.split(rng, grad_accum)
 
-        def micro(carry, xs):
-            gsum, _, bstats = carry
-            im, tg, r = xs
-            (loss, new_bs), grads = grad_fn(state.params, bstats, im, tg, r)
-            gsum = jax.tree.map(jnp.add, gsum, grads)
-            return (gsum, loss, new_bs if new_bs else bstats), loss
+            def micro(carry, xs):
+                gsum, _, bstats = carry
+                im, tg, r = xs
+                (loss, new_bs), grads = grad_fn(state.params, bstats, im, tg, r)
+                gsum = jax.tree.map(jnp.add, gsum, grads)
+                return (gsum, loss, new_bs if new_bs else bstats), loss
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (gsum, _, batch_stats), losses = jax.lax.scan(
-            micro, (zero_grads, 0.0, state.batch_stats), (images, targets, rngs))
-        grads = jax.tree.map(lambda g: g / grad_accum, gsum)
-        loss = losses.mean()
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, _, batch_stats), losses = jax.lax.scan(
+                micro, (zero_grads, 0.0, state.batch_stats), (images, targets, rngs))
+            grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+            loss = losses.mean()
 
         # cross-replica reductions (the DDP allreduce analog)
         grads = jax.lax.pmean(grads, DATA_AXIS)

@@ -384,7 +384,12 @@ def run(args, args_text: str):
                 if eval_step_ema is not None:
                     ema_metrics = validate(state, eval_step_ema, loader_eval_t, mesh,
                                            log_interval=args.log_interval, log_suffix=" (EMA)")
-                    eval_metrics = ema_metrics
+                    # reference semantics: EMA metrics are THE eval metrics
+                    # (GA/train.py:670-679); keep the raw-model numbers as extra
+                    # columns so short runs (EMA still lagging) stay legible.
+                    eval_metrics = {**ema_metrics,
+                                    "raw_top1": eval_metrics["top1"],
+                                    "raw_top5": eval_metrics["top5"]}
             update_summary(epoch, train_metrics, eval_metrics,
                            os.path.join(output_dir, "summary.csv"),
                            write_header=best_metric is None,
