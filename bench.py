@@ -15,6 +15,12 @@ import sys
 import time
 
 BASELINE_3090_EVAL = 1665.0  # MAP/README.MD §2: ConvNeXt-T+MAP img/s on RTX 3090
+# The reference publishes no training throughput anywhere (its README table is
+# inference img/s; there is no benchmarks/ dir). For an explicit train-side
+# yardstick we use eval/3 — fwd+bwd+update is canonically ~3x a forward pass
+# (and our own measured train/eval step-time ratio is 3.1x) — i.e. an
+# estimated ~555 img/s for the reference's 3090 on ConvNeXt-T+MAP.
+BASELINE_3090_TRAIN_EST = BASELINE_3090_EVAL / 3.0
 
 
 def main():
@@ -93,6 +99,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(eval_ips / BASELINE_3090_EVAL, 4),
         "train_images_per_sec_per_chip": round(train_ips, 2),
+        "train_vs_baseline_est": round(train_ips / BASELINE_3090_TRAIN_EST, 4),
         "device": str(dev),
     }
     print(json.dumps(result))

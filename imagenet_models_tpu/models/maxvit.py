@@ -298,6 +298,20 @@ def maxvit_tiny_tf_224(**kwargs):
 
 
 @register_model
+def maxvit_tiny_tf_384(**kwargs):
+    """Same architecture at 384 input (partition = input/32 -> 12x12 windows;
+    rel-pos tables sized accordingly). reference cfg: the vendored timm zoo,
+    map_maxvit.py:1585-1588 ('maxvit_tiny_tf_384.in1k', crop_pct 1.0)."""
+    return maxvit_tiny_tf_224(**kwargs)
+
+
+@register_model
+def maxvit_tiny_tf_512(**kwargs):
+    """reference cfg: map_maxvit.py:1589-1592 ('maxvit_tiny_tf_512.in1k')."""
+    return maxvit_tiny_tf_224(**kwargs)
+
+
+@register_model
 def map_maxvit_tiny_tf_224(**kwargs):
     """reference: map_maxvit.py:1797-1804."""
     kwargs.pop("drop", None)
@@ -312,4 +326,8 @@ def map_maxvit_tiny_tf_224(**kwargs):
 
 for _n in ("maxvit_tiny_tf_224", "map_maxvit_tiny_tf_224"):
     register_default_cfg(_n, {"crop_pct": 0.95, "interpolation": "bicubic",
+                              "mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)})
+for _n, _sz in (("maxvit_tiny_tf_384", 384), ("maxvit_tiny_tf_512", 512)):
+    register_default_cfg(_n, {"crop_pct": 1.0, "interpolation": "bicubic",
+                              "input_size": (_sz, _sz, 3),
                               "mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)})

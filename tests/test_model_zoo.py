@@ -51,3 +51,22 @@ def test_param_count_and_heads(name, expected, tol, heads, hw, cpu):
             out = model.apply(variables, x, training=False)
             assert isinstance(out, tuple) and len(out) == heads
             assert all(o.shape == (1, 1000) for o in out)
+
+# tf_384/512 variants: same architecture at larger input (partition = input/32,
+# rel-pos tables resized). Param counts via eval_shape (no compute): the
+# rel-pos delta vs 224 is (2*12-1)^2-(2*7-1)^2 and (2*16-1)^2-(2*7-1)^2 rows
+# per attention.
+@pytest.mark.parametrize("name,hw,expected", [
+    # timm publishes 30.98M / 31.05M for these cfgs — matched here
+    ("maxvit_tiny_tf_384", 384, 30.98),
+    ("maxvit_tiny_tf_512", 512, 31.05),
+])
+def test_maxvit_large_input_variants(name, hw, expected, cpu):
+    with jax.default_device(cpu):
+        model = create_model(name)
+        shapes = jax.eval_shape(
+            lambda r: model.init(r, jnp.zeros((1, hw, hw, 3), jnp.float32),
+                                 training=False),
+            jax.random.PRNGKey(0))
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
+        assert abs(n / 1e6 - expected) <= 0.02, f"{name}: {n/1e6:.3f}M"
