@@ -71,13 +71,25 @@ class SyntheticClassDataset(SyntheticDataset):
     flips and RandAugment — suitable for convergence evidence (BASELINE
     config #2 shape) without ImageNet on disk. The validation split draws
     noise from a disjoint seed range, so val top-1 measures generalization
-    to unseen samples of each class, not memorization."""
+    to unseen samples of each class, not memorization.
+
+    The train split additionally folds the loader epoch into the noise seed
+    (via the `set_epoch` protocol the DataLoader forwards): every epoch
+    re-draws each sample's noise, so a model cannot drive train loss down by
+    memorizing a fixed set of noisy pixels — only the class template
+    generalizes across epochs. Deterministic for a fixed (seed, epoch)."""
 
     def __init__(self, length: int = 10000, num_classes: int = 1000,
-                 image_size: int = 224, seed_offset: int = 0):
+                 image_size: int = 224, seed_offset: int = 0,
+                 epoch_varying: bool = False):
         super().__init__(length, num_classes, image_size)
         self.seed_offset = seed_offset
+        self.epoch_varying = epoch_varying
+        self._epoch = 0
         self._templates: dict = {}  # label -> fp32 image (idempotent fill)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
 
     def _template(self, label: int) -> np.ndarray:
         t = self._templates.get(label)
@@ -92,8 +104,10 @@ class SyntheticClassDataset(SyntheticDataset):
     def load(self, index: int) -> Tuple[Image.Image, int]:
         label = int(index % self.num_classes)
         tmpl = self._template(label)
-        noise = np.random.default_rng(self.seed_offset + index).normal(
-            0.0, 24.0, tmpl.shape)
+        seed = self.seed_offset + index
+        if self.epoch_varying:
+            seed += 1_000_033 * self._epoch
+        noise = np.random.default_rng(seed).normal(0.0, 24.0, tmpl.shape)
         arr = np.clip(tmpl + noise, 0, 255).astype(np.uint8)
         return Image.fromarray(arr, "RGB"), label
 
@@ -101,13 +115,17 @@ class SyntheticClassDataset(SyntheticDataset):
 def create_dataset(name_or_root: str, split: str = "train",
                    num_classes: int = 1000, image_size: int = 224):
     if name_or_root.startswith(("synthetic", "fake")):
-        length = 10000
-        if ":" in name_or_root:
-            length = int(name_or_root.split(":", 1)[1])
+        # spec: synthetic[-cls][:train_len[:val_len]]
+        length, lengths = 10000, name_or_root.split(":")[1:]
+        if lengths:
+            length = int(lengths[0])
+            if split != "train" and len(lengths) > 1:
+                length = int(lengths[1])
         if name_or_root.startswith("synthetic-cls"):
+            train = split == "train"
             return SyntheticClassDataset(
                 length=length, num_classes=num_classes, image_size=image_size,
-                seed_offset=0 if split == "train" else 777_000_017)
+                seed_offset=0 if train else 777_000_017, epoch_varying=train)
         return SyntheticDataset(length=length, num_classes=num_classes,
                                 image_size=image_size)
     candidates = [os.path.join(name_or_root, split)]

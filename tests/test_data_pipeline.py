@@ -116,3 +116,38 @@ def test_synthetic_cls_learnable_and_disjoint():
         d = ((tmpls - np.asarray(img, np.float64)) ** 2).sum(axis=(1, 2, 3))
         hits += int(np.argmin(d) == lab)
     assert hits >= 98, hits
+
+
+def test_synthetic_cls_epoch_varying_noise():
+    """Train-split noise is re-drawn every epoch (memorizing one epoch's
+    pixels cannot minimize later epochs' loss); val noise is epoch-fixed.
+    The loader forwards set_epoch to the dataset, and the
+    synthetic-cls:train:val spec sizes the splits independently."""
+    import numpy as np
+
+    from imagenet_models_tpu.data.dataset import create_dataset
+    from imagenet_models_tpu.data.loader import DataLoader
+
+    tr = create_dataset("synthetic-cls:300:40", "train", num_classes=10, image_size=32)
+    va = create_dataset("synthetic-cls:300:40", "validation", num_classes=10, image_size=32)
+    assert len(tr) == 300 and len(va) == 40
+
+    im0, lab0 = tr.load(7)
+    tr.set_epoch(1)
+    im1, lab1 = tr.load(7)
+    assert lab0 == lab1
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1, np.float32)).mean() > 1
+    tr.set_epoch(0)
+    im0b, _ = tr.load(7)
+    assert np.array_equal(np.asarray(im0), np.asarray(im0b))  # deterministic per epoch
+
+    va.set_epoch(3)  # val split ignores epoch (epoch_varying=False)
+    assert np.array_equal(np.asarray(va.load(5)[0]), np.asarray(va.load(5)[0]))
+    v0 = np.asarray(va.load(5)[0])
+    va.set_epoch(0)
+    assert np.array_equal(v0, np.asarray(va.load(5)[0]))
+
+    dl = DataLoader(tr, 4, lambda img, rng: np.asarray(img, np.float32),
+                    is_training=True, num_workers=1)
+    dl.set_epoch(2)
+    assert tr._epoch == 2
