@@ -112,8 +112,21 @@ class SyntheticClassDataset(SyntheticDataset):
         return Image.fromarray(arr, "RGB"), label
 
 
+def load_class_map(path: str) -> dict:
+    """timm load_class_map semantics: .txt = one class name per line (index =
+    line number); .json = explicit {name: idx} mapping."""
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            return {str(k): int(v) for k, v in json.load(f).items()}
+    with open(path) as f:
+        return {line.strip(): i for i, line in enumerate(f) if line.strip()}
+
+
 def create_dataset(name_or_root: str, split: str = "train",
-                   num_classes: int = 1000, image_size: int = 224):
+                   num_classes: int = 1000, image_size: int = 224,
+                   class_map: Optional[str] = None):
     if name_or_root.startswith(("synthetic", "fake")):
         # spec: synthetic[-cls][:train_len[:val_len]]
         length, lengths = 10000, name_or_root.split(":")[1:]
@@ -128,6 +141,7 @@ def create_dataset(name_or_root: str, split: str = "train",
                 seed_offset=0 if train else 777_000_017, epoch_varying=train)
         return SyntheticDataset(length=length, num_classes=num_classes,
                                 image_size=image_size)
+    cmap = load_class_map(class_map) if class_map else None
     candidates = [os.path.join(name_or_root, split)]
     if split == "validation":
         candidates.append(os.path.join(name_or_root, "val"))
@@ -135,7 +149,7 @@ def create_dataset(name_or_root: str, split: str = "train",
     for c in candidates:
         if os.path.isdir(c):
             try:
-                return ImageFolder(c)
+                return ImageFolder(c, class_map=cmap)
             except FileNotFoundError:
                 continue
     raise FileNotFoundError(f"no dataset at {name_or_root} (split {split})")

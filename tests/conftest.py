@@ -20,6 +20,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Honor IMTPU_PLATFORM for tests too (JAX_PLATFORMS is pinned by the TPU
+# plugin on this host): IMTPU_PLATFORM=cpu pytest ... runs the suite on the
+# virtual CPU devices without touching the TPU (e.g. while a training run
+# holds it). Parity tolerances widen automatically via ACCURATE below.
+if os.environ.get("IMTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IMTPU_PLATFORM"])
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/imtpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -93,3 +93,63 @@ def test_truncate_wrapper_delegates_attribute_writes():
     wrapped.mixup_enabled = False
     assert loader.mixup_enabled is False
     assert len(wrapped) == 2 and len(list(wrapped)) == 2
+
+
+def test_cosine_schedule_cycles_and_k_decay():
+    """timm CosineLRScheduler restart semantics: --lr-cycle-mul/-decay/-limit
+    and --lr-k-decay (GA/train.py:153-160)."""
+    import numpy as np
+
+    # cycle_mul=1: cycle i restarts every `epochs`; peak decays by cycle_decay
+    lr = cosine_schedule(1e-2, epochs=10, warmup_epochs=0, warmup_lr=1e-6,
+                         min_lr=1e-5, cycle_mul=1.0, cycle_decay=0.5,
+                         cycle_limit=3)
+    assert np.isclose(float(lr(0)), 1e-2)                      # cycle-0 peak
+    assert np.isclose(float(lr(10)), 5e-3)                     # cycle-1 peak decayed
+    assert np.isclose(float(lr(20)), 2.5e-3)                   # cycle-2 peak
+    assert np.isclose(float(lr(30)), 1e-5)                     # past cycle_limit -> min
+    # mid-cycle value equals the single-cycle cosine scaled to the cycle peak
+    single = cosine_schedule(5e-3, epochs=10, warmup_epochs=0, warmup_lr=1e-6,
+                             min_lr=1e-5)
+    assert np.isclose(float(lr(15)), float(single(5)), rtol=1e-6)
+
+    # cycle_mul=2: cycle lengths 10, 20, 40 -> restarts at t=10, 30
+    lr2 = cosine_schedule(1e-2, epochs=10, warmup_epochs=0, warmup_lr=1e-6,
+                          min_lr=1e-5, cycle_mul=2.0, cycle_decay=1.0,
+                          cycle_limit=10)
+    assert np.isclose(float(lr2(10)), 1e-2)
+    assert np.isclose(float(lr2(30)), 1e-2)
+    assert float(lr2(29)) < 1e-4  # end of cycle-1 is near min_lr
+
+    # k_decay reshapes the curve but keeps the endpoints
+    lrk = cosine_schedule(1e-2, epochs=10, warmup_epochs=0, warmup_lr=1e-6,
+                          min_lr=1e-5, k_decay=2.0)
+    assert np.isclose(float(lrk(0)), 1e-2)
+    assert np.isclose(float(lrk(10)), 1e-5)
+    assert float(lrk(5)) > float(cosine_schedule(
+        1e-2, epochs=10, warmup_epochs=0, warmup_lr=1e-6, min_lr=1e-5)(5))
+
+
+def test_lr_noise_table_bounded_and_ranged():
+    import numpy as np
+
+    from imagenet_models_tpu.train.scheduler import lr_noise_table
+
+    t = lr_noise_table(100, [50], noise_pct=0.2, noise_std=1.0, seed=7)
+    assert t.shape == (100,)
+    assert np.all(t[:50] == 0)                   # before the noise range
+    assert np.any(t[50:] != 0)                   # noise active after
+    assert np.all(np.abs(t) < 0.2)               # rejection-bounded
+    t2 = lr_noise_table(100, [50], noise_pct=0.2, noise_std=1.0, seed=7)
+    assert np.array_equal(t, t2)                 # seeded-deterministic
+    assert lr_noise_table(100, None) is None
+    ranged = lr_noise_table(100, [20, 40], noise_pct=0.5, seed=1)
+    assert np.all(ranged[:20] == 0) and np.all(ranged[40:] == 0)
+    assert np.any(ranged[20:40] != 0)
+    # schedule applies the table multiplicatively
+    lr = cosine_schedule(1e-2, epochs=100, warmup_epochs=0, warmup_lr=1e-6,
+                         min_lr=1e-5, noise_table=t)
+    base = cosine_schedule(1e-2, epochs=100, warmup_epochs=0, warmup_lr=1e-6,
+                           min_lr=1e-5)
+    assert np.isclose(float(lr(60)), float(base(60)) * (1 + t[60]), rtol=1e-6)
+    assert np.isclose(float(lr(10)), float(base(10)), rtol=1e-6)

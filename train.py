@@ -46,7 +46,19 @@ parser.add_argument("-fp", "--finetuning-checkpoint", default="", type=str,
                     help="torch .pth.tar to fine-tune from (head fc dropped or remapped)")
 parser.add_argument("-pt", "--in21k-to-in1k", action="store_true", default=False,
                     help="remap a 21k-class head to 1k classes (MAP/train.py:462-475)")
-parser.add_argument("--in21k-1k-map", default="in21k_1k_map.json", type=str)
+parser.add_argument("--in21k-1k-map", "--in21k_1k_map", default="in21k_1k_map.json", type=str)
+parser.add_argument("--class-map", default="", type=str, metavar="FILENAME",
+                    help="class-to-idx mapping file: one class name per line, "
+                         "index = line number (timm load_class_map semantics)")
+parser.add_argument("--dataset-download", action="store_true", default=False,
+                    help="accepted no-op: datasets are local directories here")
+parser.add_argument("--gp", default=None, type=str, metavar="POOL",
+                    help="global pool override; factories fix the pooling here, "
+                         "so any non-default value fails loudly")
+parser.add_argument("--bn-eps", type=float, default=None,
+                    help="BN epsilon override; unsupported (fails loudly if set)")
+parser.add_argument("--bn-momentum", type=float, default=None,
+                    help="BN momentum override; unsupported (fails loudly if set)")
 parser.add_argument("--no-resume-opt", action="store_true", default=False)
 parser.add_argument("--num-classes", type=int, default=None)
 parser.add_argument("--img-size", type=int, default=None)
@@ -80,6 +92,21 @@ parser.add_argument("--warmup-epochs", type=int, default=5)
 parser.add_argument("--cooldown-epochs", type=int, default=10)
 parser.add_argument("--decay-epochs", type=float, default=100)
 parser.add_argument("--decay-rate", "--dr", type=float, default=0.1)
+parser.add_argument("--lr-noise", type=float, nargs="+", default=None, metavar="pct, pct",
+                    help="LR noise on/off epoch percentages (GA/train.py:147-148)")
+parser.add_argument("--lr-noise-pct", type=float, default=0.67)
+parser.add_argument("--lr-noise-std", type=float, default=1.0)
+parser.add_argument("--lr-cycle-mul", type=float, default=1.0)
+parser.add_argument("--lr-cycle-decay", type=float, default=0.5)
+parser.add_argument("--lr-cycle-limit", type=int, default=1)
+parser.add_argument("--lr-k-decay", type=float, default=1.0)
+parser.add_argument("--patience-epochs", type=int, default=10,
+                    help="plateau scheduler only (create_scheduler rejects sched=plateau)")
+parser.add_argument("--start-epoch", default=None, type=int,
+                    help="manual epoch number (useful on restarts)")
+parser.add_argument("--epoch-repeats", type=float, default=0.,
+                    help="accepted no-op: inert for folder/map-style datasets in the "
+                         "reference too (timm only honors it for iterable datasets)")
 # Augmentation & regularization
 parser.add_argument("--no-aug", action="store_true", default=False)
 parser.add_argument("--scale", type=float, nargs="+", default=[0.08, 1.0])
@@ -104,6 +131,12 @@ parser.add_argument("--mixup-switch-prob", type=float, default=0.5)
 parser.add_argument("--mixup-mode", type=str, default="batch")
 parser.add_argument("--mixup-off-epoch", default=0, type=int)
 parser.add_argument("--aug-repeats", "--aug-repeat", type=int, default=0)
+parser.add_argument("--aug-splits", type=int, default=0,
+                    help="augmentation splits (0 or >=2); unsupported like --jsd-loss")
+parser.add_argument("--resplit", action="store_true", default=False,
+                    help="aug-splits option; unsupported like --jsd-loss")
+parser.add_argument("--split-bn", action="store_true", default=False,
+                    help="per-aug-split BN; unsupported like --jsd-loss")
 parser.add_argument("--drop", type=float, default=0.0)
 parser.add_argument("--drop-connect", type=float, default=None)
 parser.add_argument("--drop-path", type=float, default=None)
@@ -144,9 +177,35 @@ parser.add_argument("--sync-bn", action="store_true", default=False,
 parser.add_argument("--dist-bn", type=str, default="reduce")
 parser.add_argument("--early-stop", type=int, default=None)
 parser.add_argument("--eval-epoch", type=int, default=1)
-parser.add_argument("--dis_eval", action="store_true", default=False)
+parser.add_argument("--dis_eval", "--dis-eval", action="store_true", default=False)
 parser.add_argument("--torchcompile", nargs="?", type=str, default=None, const="inductor",
                     help="accepted no-op: everything is jax.jit compiled")
+# torch-runtime flags accepted for CLI parity; each is either native here
+# (bf16 AMP, jit, NHWC, persistent workers) or CUDA/DDP-process specific
+parser.add_argument("--apex-amp", action="store_true", default=False,
+                    help="reference AMP impl selector; enables --amp (bf16) here")
+parser.add_argument("--native-amp", action="store_true", default=False,
+                    help="reference AMP impl selector; enables --amp (bf16) here")
+parser.add_argument("--torchscript", action="store_true", default=False,
+                    help="accepted no-op: everything is jax.jit compiled")
+parser.add_argument("--fuser", default="", type=str,
+                    help="accepted no-op: XLA does the fusion")
+parser.add_argument("--no-ddp-bb", action="store_true", default=False,
+                    help="accepted no-op: no DDP broadcast buffers in SPMD")
+parser.add_argument("--use-multi-epochs-loader", action="store_true", default=False,
+                    help="accepted no-op: loader workers persist across epochs")
+parser.add_argument("--local_rank", default=0, type=int,
+                    help="accepted no-op: one host process drives all devices")
+parser.add_argument("--tta", type=int, default=0,
+                    help="accepted no-op: parsed but never consumed in the reference "
+                         "engine either (GA/train.py:253-255)")
+# flags the reference parses but never consumes (MAP/train.py:246-329);
+# accepted and warned-on so reference command lines keep working
+parser.add_argument("--mesa", type=float, default=0.0)
+parser.add_argument("--mesa-start-ratio", type=float, default=0.25)
+parser.add_argument("--prog-input", type=float, nargs="+", default=None)
+parser.add_argument("--prog-input-milestones", type=float, nargs="+", default=None)
+parser.add_argument("--head-dropout", type=float, default=None)
 parser.add_argument("--n-devices", type=int, default=None,
                     help="limit the mesh to the first N local devices")
 parser.add_argument("--max-steps-per-epoch", type=int, default=None,
@@ -206,14 +265,30 @@ def run(args, args_text: str):
     mean = tuple(args.mean) if args.mean else cfg["mean"]
     std = tuple(args.std) if args.std else cfg["std"]
 
-    if args.jsd_loss:
+    if args.jsd_loss or args.aug_splits or args.split_bn or args.resplit:
         # reference: JSD requires --aug-splits > 1 (GA/train.py:613-615 via
         # timm); aug splits are not implemented here — fail loudly instead of
         # silently training with a different objective.
         raise NotImplementedError(
-            "--jsd-loss requires augmentation splits, which (as in the "
-            "reference recipes, none of which use it) are not supported; "
-            "remove the flag or use --bce-loss/--smoothing")
+            "--jsd-loss/--aug-splits/--split-bn/--resplit need augmentation "
+            "splits, which (as in the reference recipes, none of which use "
+            "them) are not supported; remove the flag or use --bce-loss")
+    if args.apex_amp or args.native_amp:
+        # reference AMP-implementation selectors; the one AMP here is bf16
+        args.amp = True
+    if args.gp is not None:
+        raise NotImplementedError(
+            f"--gp {args.gp}: pooling is fixed by the model factory here "
+            "(mmcap for map_*/ga_* models, avg otherwise)")
+    if args.bn_eps is not None or args.bn_momentum is not None:
+        raise NotImplementedError(
+            "--bn-eps/--bn-momentum overrides are not supported; BN eps "
+            "values are fixed per-model for checkpoint parity")
+    if args.mesa or args.prog_input or args.prog_input_milestones or \
+            args.head_dropout is not None:
+        _logger.warning("--mesa/--prog-input*/--head-dropout are parsed but "
+                        "never consumed by the reference engine "
+                        "(MAP/train.py:246-329); ignoring them here too")
     drop_path = args.drop_path
     if args.drop_connect is not None:
         # timm maps the deprecated --drop-connect onto drop_path with a warning
@@ -245,9 +320,11 @@ def run(args, args_text: str):
 
     # data
     dataset_train = create_dataset(args.data_dir, args.train_split,
-                                   num_classes=num_classes, image_size=input_size)
+                                   num_classes=num_classes, image_size=input_size,
+                                   class_map=args.class_map or None)
     dataset_eval = create_dataset(args.data_dir, args.val_split,
-                                  num_classes=num_classes, image_size=test_size)
+                                  num_classes=num_classes, image_size=test_size,
+                                  class_map=args.class_map or None)
     mixup_active = args.mixup > 0 or args.cutmix > 0
     mixup_fn = None
     if mixup_active:
@@ -314,10 +391,19 @@ def run(args, args_text: str):
 
     # optimizer + schedule
     steps_per_epoch = len(loader_train)
+    from imagenet_models_tpu.train.scheduler import lr_noise_table
+
+    noise_range = [n * args.epochs for n in args.lr_noise] if args.lr_noise else None
+    noise_table = lr_noise_table(args.epochs + args.cooldown_epochs + 1, noise_range,
+                                 noise_pct=args.lr_noise_pct,
+                                 noise_std=args.lr_noise_std, seed=args.seed)
     lr_fn = create_scheduler(args.sched, base_lr=args.lr, epochs=args.epochs,
                              warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
                              min_lr=args.min_lr, decay_epochs=args.decay_epochs,
-                             decay_rate=args.decay_rate)
+                             decay_rate=args.decay_rate, cycle_mul=args.lr_cycle_mul,
+                             cycle_decay=args.lr_cycle_decay,
+                             cycle_limit=args.lr_cycle_limit,
+                             k_decay=args.lr_k_decay, noise_table=noise_table)
     betas = tuple(args.opt_betas) if args.opt_betas else (0.9, 0.999)
     tx = create_optimizer(args.opt, learning_rate=lambda s: lr_fn(s // max(steps_per_epoch, 1)),
                           weight_decay=args.weight_decay, eps=args.opt_eps, betas=betas,
@@ -331,6 +417,9 @@ def run(args, args_text: str):
         state, last_epoch = resume_checkpoint(args.resume, state)
         start_epoch = last_epoch + 1
         _logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
+    if args.start_epoch is not None:
+        # manual epoch override (GA/train.py:169-170 semantics)
+        start_epoch = args.start_epoch
     state = replicate(state, mesh)
 
     base_loss = create_loss_fn(bce_loss=args.bce_loss, smoothing=args.smoothing,

@@ -46,10 +46,42 @@ parser.add_argument("--max-batches", default=None, type=int,
 parser.add_argument("--n-devices", type=int, default=None)
 parser.add_argument("--extract-logits", default="", type=str,
                     help="save per-head logits + head fc biases to this .npz")
+parser.add_argument("--logit-extract", action="store_true", default=False,
+                    help="reference boolean form of --extract-logits: saves to "
+                         "output/logit/<model>.npz (MAP/validate.py:328-338)")
 parser.add_argument("--real-labels", default="", type=str,
                     help="JSON {filename: [valid class ids]} (ReaL labels)")
 parser.add_argument("--valid-labels", default="", type=str,
                     help="text file of class indices restricting the label space")
+parser.add_argument("--class-map", default="", type=str, metavar="FILENAME",
+                    help="class-to-idx mapping file (one class name per line)")
+parser.add_argument("--distill-tokens", "-dt", type=int, default=0,
+                    help="build the model with N distill tokens per CAP")
+parser.add_argument("--gp", default=None, type=str,
+                    help="global pool override; fails loudly (factories fix pooling)")
+parser.add_argument("--test-pool", action="store_true", default=False,
+                    help="timm test-time pooling; unsupported (fails loudly)")
+parser.add_argument("--tf-preprocessing", action="store_true", default=False,
+                    help="TF preprocessing pipeline; unsupported (fails loudly)")
+# torch-runtime flags accepted as no-ops for CLI parity
+parser.add_argument("--apex-amp", action="store_true", default=False,
+                    help="reference AMP selector; enables --amp (bf16) here")
+parser.add_argument("--native-amp", action="store_true", default=False,
+                    help="reference AMP selector; enables --amp (bf16) here")
+parser.add_argument("--channels-last", action="store_true", default=False,
+                    help="accepted no-op: NHWC is native")
+parser.add_argument("--cuda", action="store_true", default=False,
+                    help="accepted no-op: device selection is automatic")
+parser.add_argument("--pin-mem", action="store_true", default=False,
+                    help="accepted no-op")
+parser.add_argument("--no-prefetcher", action="store_true", default=False,
+                    help="accepted no-op: async dispatch is native")
+parser.add_argument("--dataset-download", action="store_true", default=False,
+                    help="accepted no-op: datasets are local directories")
+parser.add_argument("--torchscript", action="store_true", default=False,
+                    help="accepted no-op: jax.jit compiles everything")
+parser.add_argument("--fuser", default="", type=str,
+                    help="accepted no-op: XLA does the fusion")
 
 
 class _Truncate:
@@ -84,6 +116,19 @@ def validate_once(args):
     from imagenet_models_tpu.utils.meters import AverageMeter
 
     setup_jax()
+    if args.apex_amp or args.native_amp:
+        args.amp = True
+    if args.gp is not None:
+        raise NotImplementedError(
+            f"--gp {args.gp}: pooling is fixed by the model factory here")
+    if args.test_pool or args.tf_preprocessing:
+        raise NotImplementedError(
+            "--test-pool/--tf-preprocessing are timm-substrate features the "
+            "reference never exercises; not supported")
+    if args.logit_extract and not args.extract_logits:
+        # reference layout: output/logit/<model>.pth (MAP/validate.py:328-338)
+        os.makedirs(os.path.join("output", "logit"), exist_ok=True)
+        args.extract_logits = os.path.join("output", "logit", f"{args.model}.npz")
     devices = jax.devices()
     if args.n_devices:
         devices = devices[: args.n_devices]
@@ -99,7 +144,9 @@ def validate_once(args):
     std = tuple(args.std) if args.std else cfg["std"]
 
     dtype = jnp.bfloat16 if args.amp else None
-    model = create_model(args.model, num_classes=num_classes, dtype=dtype)
+    model_kwargs = {"distill_tokens": args.distill_tokens} if args.distill_tokens else {}
+    model = create_model(args.model, num_classes=num_classes, dtype=dtype,
+                         **model_kwargs)
 
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
@@ -165,7 +212,7 @@ def validate_once(args):
         head_biases = [found[k] for k in sorted(found)] if found else None
 
     dataset = create_dataset(args.data, args.split, num_classes=num_classes,
-                             image_size=img_size)
+                             image_size=img_size, class_map=args.class_map or None)
     batch = max(n_dev, args.batch_size // n_dev * n_dev)
     loader = create_loader(dataset, img_size, batch, is_training=False,
                            interpolation=interpolation, crop_pct=crop_pct,
