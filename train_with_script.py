@@ -32,6 +32,9 @@ def get_multi_args_parser():
     p.add_argument("-m", "--model-name", type=str, nargs="+", default=["map_resnet50"])
     p.add_argument("-r", "--resume", type=str, default=None)
     p.add_argument("-ri", "--resume_id", type=str, default=None)
+    p.add_argument("-c", "--cuda", type=str, default="0,",
+                   help="accepted no-op: GPU id list in the reference "
+                        "(CUDA_VISIBLE_DEVICES); devices are automatic here")
     p.add_argument("-cp", "--initial-checkpoint", type=str, default=None)
     p.add_argument("-fp", "--finetuning-checkpoint", type=str, default=None)
     p.add_argument("-pt", "--in21k-to-in1k", action="store_true")
