@@ -335,6 +335,14 @@ def fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
 # memory knob, NOT a speed knob: A/B on v5e measured 858 vs 1060 img/s with
 # remat on (the step is compute-bound; XLA already overlaps the HBM traffic)
 _REMAT = os.environ.get("IMTPU_BLOCK_REMAT", "0") != "0"
+# Per-stage experiment knob: route blocks with C < IMTPU_PALLAS_MIN_C to the
+# plain-XLA path even on TPU. Rationale: the step profile shows the kernel's
+# MXU utilization is capped by the small-channel stages (stage-0 C=96 on a
+# 56x56 grid is memory-bound) while ~9ms/step goes to layout copies between
+# XLA's conv layouts and the kernel's row-major operands — XLA may fuse the
+# small stages better than the kernel runs them. 0 (default) = kernel
+# everywhere.
+_PALLAS_MIN_C = int(os.environ.get("IMTPU_PALLAS_MIN_C", "0"))
 
 
 def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
@@ -346,6 +354,8 @@ def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
     placement). Returns the pre-residual branch output."""
     if gamma is None:
         gamma = jnp.ones((x.shape[-1],), jnp.float32)
+    if use_pallas is None and x.shape[-1] < _PALLAS_MIN_C:
+        use_pallas = False
     if use_pallas is True:
         return fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
     if use_pallas is False:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 from collections import OrderedDict
 from typing import Callable, Optional
@@ -33,11 +34,31 @@ class NaNWatchdog(Exception):
     pass
 
 
+def save_image_grid(images: np.ndarray, path: str, cols: int = 8):
+    """Debug dump of an input batch as one tiled image (reference:
+    torchvision.utils.save_image with normalize=True at GA/train.py:803-808).
+    Accepts NHWC float batches in any normalization; min-max rescales."""
+    from PIL import Image
+
+    arr = np.asarray(images, np.float32)
+    lo, hi = float(arr.min()), float(arr.max())
+    arr = (arr - lo) / max(hi - lo, 1e-8)
+    n, h, w, c = arr.shape
+    cols = min(cols, n)
+    rows = math.ceil(n / cols)
+    grid = np.zeros((rows * h, cols * w, c), np.float32)
+    for i in range(n):
+        r, col = divmod(i, cols)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
+    Image.fromarray((grid * 255).astype(np.uint8).squeeze()).save(path)
+
+
 def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
                     log_interval: int = 50, saver=None, recovery_interval: int = 0,
                     lr_fn: Optional[Callable] = None, mixup_off: bool = False,
                     steps_per_epoch: Optional[int] = None,
-                    profile_steps: int = 0, profile_dir: str = ""):
+                    profile_steps: int = 0, profile_dir: str = "",
+                    save_images_dir: str = ""):
     if mixup_off and getattr(loader, "mixup_enabled", False):
         loader.mixup_enabled = False
     profiling = False
@@ -68,6 +89,10 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
         pending.append((batch_idx, metrics, n))
         batch_time.update(time.time() - end)
 
+        if save_images_dir and batch_idx % log_interval == 0:
+            # debug batch dumps every log interval (GA/train.py:803-808)
+            save_image_grid(images, os.path.join(
+                save_images_dir, f"train-batch-{batch_idx}.jpg"))
         if batch_idx % log_interval == 0 or batch_idx == last_idx:
             # drain async metrics; NaN watchdog here (amortized device sync)
             for bi, m, bn in pending:

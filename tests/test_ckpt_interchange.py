@@ -193,3 +193,21 @@ def test_validate_cli_with_reference_checkpoint(name, tmp_path):
     assert result["model"] == name
     assert np.isfinite(result["top1"]) and 0.0 <= result["top1"] <= 100.0
     assert abs(result["param_count"] - params_m) < 0.06
+
+
+def test_validate_cli_logit_extract_boolean(tmp_path, monkeypatch):
+    """--logit-extract (reference boolean form, MAP/validate.py:121,328-338)
+    derives output/logit/<model>.npz relative to the cwd and dumps per-head
+    logits."""
+    import validate as validate_cli
+
+    monkeypatch.chdir(tmp_path)
+    args = validate_cli.parser.parse_args(
+        ["synthetic:8", "--model", "map_mobilenet_v1", "-b", "4",
+         "--max-batches", "1", "-j", "1", "--logit-extract"])
+    result = validate_cli.validate_once(args)
+    out = tmp_path / "output" / "logit" / "map_mobilenet_v1.npz"
+    assert out.exists(), "boolean form must derive the reference dump path"
+    data = np.load(out)
+    assert "logits" in data and data["logits"].shape[0] == 4
+    assert np.isfinite(result["top1"])

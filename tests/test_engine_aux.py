@@ -153,3 +153,18 @@ def test_lr_noise_table_bounded_and_ranged():
                            min_lr=1e-5)
     assert np.isclose(float(lr(60)), float(base(60)) * (1 + t[60]), rtol=1e-6)
     assert np.isclose(float(lr(10)), float(base(10)), rtol=1e-6)
+
+
+def test_save_image_grid(tmp_path):
+    """--save-images batch dumps (GA/train.py:803-808): tiled grid, min-max
+    normalized, written as jpg."""
+    import numpy as np
+    from PIL import Image
+
+    from imagenet_models_tpu.train.engine import save_image_grid
+
+    batch = np.random.default_rng(0).normal(0, 2, (10, 16, 16, 3)).astype(np.float32)
+    p = tmp_path / "train-batch-0.jpg"
+    save_image_grid(batch, str(p))
+    img = Image.open(p)
+    assert img.size == (8 * 16, 2 * 16)  # 8 cols x 2 rows

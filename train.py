@@ -462,7 +462,8 @@ def run(args, args_text: str):
                 recovery_interval=args.recovery_interval, lr_fn=lr_fn,
                 mixup_off=mixup_off, steps_per_epoch=steps_per_epoch,
                 profile_steps=args.profile_steps,
-                profile_dir=os.path.join(output_dir, "profile"))
+                profile_dir=os.path.join(output_dir, "profile"),
+                save_images_dir=output_dir if args.save_images else "")
 
             do_eval = not args.dis_eval and (epoch + 1) >= args.eval_epoch
             eval_metrics = {"top1": 0.0, "top5": 0.0}
