@@ -38,11 +38,23 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, transform: Callable,
                  is_training: bool = False, mixup_fn=None, num_workers: int = 4,
                  seed: int = 42, repeats: int = 0, drop_last: Optional[bool] = None,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None, aug_splits: int = 0,
+                 resplit: bool = False):
         self.dataset, self.batch_size, self.transform = dataset, batch_size, transform
         self.is_training, self.mixup_fn = is_training, mixup_fn
         self.num_workers = max(1, num_workers)
         self.seed, self.repeats = seed, repeats
+        # timm AugMixDataset semantics (GA/train.py:560-561): each sample
+        # yields 1 clean + (aug_splits-1) secondary-augmented copies of ONE
+        # shared primary crop; batches carry batch_size*aug_splits images,
+        # interleaved sample-major (see _stack_splits) so contiguous DP
+        # shards hold whole samples. Targets are repeated per split (timm
+        # fast_collate). resplit = skip random erasing on the clean split.
+        self.aug_splits = aug_splits if aug_splits and aug_splits > 1 else 0
+        self.resplit = resplit
+        if self.aug_splits and mixup_fn is not None:
+            # collate conflict, as in the reference (GA/train.py:554)
+            raise ValueError("--aug-splits is not compatible with mixup/cutmix")
         self.drop_last = is_training if drop_last is None else drop_last
         self.epoch = 0
         self.mixup_enabled = mixup_fn is not None
@@ -72,7 +84,20 @@ class DataLoader:
     def _load_one(self, index: int, aug_seed: int) -> Tuple[np.ndarray, int]:
         img, label = self.dataset.load(int(index))
         rng = random.Random(aug_seed)
+        if self.aug_splits:
+            return self._split_variants(img, rng), label
         return self.transform(img, rng), label
+
+    def _split_variants(self, img, rng, cropped: bool = False) -> np.ndarray:
+        """(aug_splits, H, W, C): clean + independently-augmented copies of
+        one shared primary crop (cropped=True when the caller already applied
+        the primary transform, e.g. the native decode path)."""
+        tf = self.transform
+        base = img if cropped else tf.primary(img, rng)
+        outs = [tf.finalize_clean(base, rng, erase=not self.resplit)]
+        for _ in range(self.aug_splits - 1):
+            outs.append(tf.post_decode_pil(base, rng))
+        return np.stack(outs)
 
     def _load_batch_native(self, binds, seeds) -> Tuple[np.ndarray, np.ndarray]:
         from imagenet_models_tpu.data.native import decode_batch
@@ -84,9 +109,25 @@ class DataLoader:
                            interpolation=tf.interpolation,
                            hflip=tf.hflip, vflip=getattr(tf, "vflip", 0.0),
                            scale=tf.scale, ratio=tf.ratio)
+        if self.aug_splits:
+            from PIL import Image
+
+            imgs = [self._split_variants(Image.fromarray(arr[k]),
+                                         random.Random(seeds[k]), cropped=True)
+                    for k in range(len(binds))]
+            return self._stack_splits(imgs, labels)
         imgs = [tf.post_decode(arr[k], random.Random(seeds[k]))
                 for k in range(len(binds))]
         return np.stack(imgs), labels
+
+    def _stack_splits(self, imgs, labels) -> Tuple[np.ndarray, np.ndarray]:
+        """Interleave sample-major: row k*s+j is split j of sample k, so any
+        contiguous shard of (local_batch*s) rows holds whole samples (unlike
+        timm's block-major collate, which would scatter a sample's splits
+        across DP shards)."""
+        stacked = np.stack(imgs)  # (B, s, H, W, C)
+        flat = stacked.reshape(-1, *stacked.shape[2:])
+        return flat, np.repeat(np.asarray(labels, np.int64), self.aug_splits)
 
     def _make_batch(self, bi: int, binds) -> Tuple[np.ndarray, np.ndarray]:
         seeds = [(self.seed, self.epoch, bi, pos).__hash__() & 0x7FFFFFFF
@@ -98,6 +139,8 @@ class DataLoader:
             a, lb = self._load_one(i, seeds[pos])
             imgs.append(a)
             labels.append(lb)
+        if self.aug_splits:
+            return self._stack_splits(imgs, labels)
         return np.stack(imgs), np.asarray(labels, np.int64)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -157,7 +200,8 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                   reprob: float = 0.0, remode: str = "pixel",
                   recount: int = 1, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
                   mixup_fn=None, num_workers: int = 4, seed: int = 42,
-                  repeats: int = 0) -> DataLoader:
+                  repeats: int = 0, aug_splits: int = 0,
+                  resplit: bool = False) -> DataLoader:
     from imagenet_models_tpu.data.transforms import (
         EvalTransform,
         IMAGENET_DEFAULT_MEAN,
@@ -178,4 +222,4 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                            interpolation=interpolation, mean=mean, std=std)
     return DataLoader(dataset, batch_size, tf, is_training=is_training,
                       mixup_fn=mixup_fn, num_workers=num_workers, seed=seed,
-                      repeats=repeats)
+                      repeats=repeats, aug_splits=aug_splits, resplit=resplit)

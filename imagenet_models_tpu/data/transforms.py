@@ -123,6 +123,12 @@ class TrainTransform:
             self.erase = RandomErasing(reprob, mode=remode, count=recount)
 
     def __call__(self, img: Image.Image, rng: random.Random) -> np.ndarray:
+        return self.post_decode_pil(self.primary(img, rng), rng)
+
+    def primary(self, img: Image.Image, rng: random.Random) -> Image.Image:
+        """Geometric portion (RRC + flips) — shared across aug-splits the way
+        timm AugMixDataset applies the dataset transform once per sample
+        before fanning out the secondary augmentations."""
         interp = self.interpolation
         if interp == "random":
             interp = rng.choice(["bilinear", "bicubic"])
@@ -131,7 +137,17 @@ class TrainTransform:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if self.vflip and rng.random() < self.vflip:
             img = img.transpose(Image.FLIP_TOP_BOTTOM)
-        return self.post_decode_pil(img, rng)
+        return img
+
+    def finalize_clean(self, img: Image.Image, rng: random.Random,
+                       erase: bool = True) -> np.ndarray:
+        """Clean aug-split: normalize only (no AA/color-jitter). Random
+        erasing still applies unless --resplit skips the clean split (timm
+        re_num_splits semantics)."""
+        a = to_float_chw_last(img, self.mean, self.std)
+        if erase and self.erase is not None:
+            a = self.erase(a, rng)
+        return a
 
     def post_decode_pil(self, img: Image.Image, rng: random.Random) -> np.ndarray:
         if self.aa is not None:

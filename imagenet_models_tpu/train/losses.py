@@ -63,14 +63,50 @@ def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
     return soft_target_cross_entropy(logits, target, smoothing)
 
 
+def jsd_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
+                      num_splits: int, alpha: float = 12.0,
+                      smoothing: float = 0.1) -> jnp.ndarray:
+    """timm JsdCrossEntropy (selected by --jsd-loss + --aug-splits,
+    GA/train.py:613-615): cross-entropy on the clean split plus
+    alpha * mean over splits of KL(split ‖ clamped mixture), batchmean.
+
+    Layout note: timm's collate stacks splits block-major ([clean_B; aug1_B;
+    ...]); our loader interleaves them sample-major (sample k occupies rows
+    [k*s, (k+1)*s) with the clean split first) so a contiguous DP shard always
+    holds whole samples. The math is layout-invariant given the matching
+    reshape below. Targets arrive repeated per split (timm fast_collate
+    repeats them); the clean split's rows are used for the CE term.
+    """
+    n, c = logits.shape
+    b = n // num_splits
+    lsp = logits.reshape(b, num_splits, c).astype(jnp.float32)
+    t_clean = target.reshape(b, num_splits, *target.shape[1:])[:, 0] \
+        if target.ndim > 1 else target.reshape(b, num_splits)[:, 0]
+    loss = cross_entropy(lsp[:, 0], t_clean, smoothing)
+    probs = jax.nn.softmax(lsp, axis=-1)                      # (b, s, C)
+    mixture = jnp.clip(probs.mean(axis=1), 1e-7, 1.0)
+    logm = jnp.log(mixture)[:, None, :]                       # (b, 1, C)
+    # torch F.kl_div(logm, p): sum p*(log p - logm); xlogy(0,0)=0 semantics
+    kl = jnp.where(probs > 0, probs * (jnp.log(jnp.where(probs > 0, probs, 1.0))
+                                       - logm), 0.0)
+    # batchmean over each split's rows (= /b), then mean over splits
+    return loss + alpha * kl.sum() / (b * num_splits)
+
+
 def create_loss_fn(bce_loss: bool = False, smoothing: float = 0.0,
                    bce_target_thresh: Optional[float] = None,
-                   mixup_active: bool = False) -> Callable:
+                   mixup_active: bool = False, jsd_splits: int = 0,
+                   jsd_alpha: float = 12.0) -> Callable:
     """Mirror of the reference's selection logic (GA/train.py:612-630).
 
     With mixup, smoothing is baked into the mixup targets, so the dense-target
-    losses are used without extra smoothing.
+    losses are used without extra smoothing. jsd_splits > 1 selects
+    JsdCrossEntropy (requires the loader's aug-splits batches; takes
+    precedence like the reference's first branch).
     """
+    if jsd_splits > 1:
+        return lambda x, t: jsd_cross_entropy(x, t, jsd_splits, jsd_alpha,
+                                              smoothing)
     if mixup_active:
         if bce_loss:
             return lambda x, t: binary_cross_entropy(x, t, 0.0, bce_target_thresh)

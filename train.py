@@ -132,11 +132,12 @@ parser.add_argument("--mixup-mode", type=str, default="batch")
 parser.add_argument("--mixup-off-epoch", default=0, type=int)
 parser.add_argument("--aug-repeats", "--aug-repeat", type=int, default=0)
 parser.add_argument("--aug-splits", type=int, default=0,
-                    help="augmentation splits (0 or >=2); unsupported like --jsd-loss")
+                    help="augmentation splits (0 or >=2): clean + N-1 "
+                         "augmented copies per sample, for --jsd-loss")
 parser.add_argument("--resplit", action="store_true", default=False,
-                    help="aug-splits option; unsupported like --jsd-loss")
+                    help="skip random erasing on the clean aug-split")
 parser.add_argument("--split-bn", action="store_true", default=False,
-                    help="per-aug-split BN; unsupported like --jsd-loss")
+                    help="per-aug-split BN; unsupported (fails loudly)")
 parser.add_argument("--drop", type=float, default=0.0)
 parser.add_argument("--drop-connect", type=float, default=None)
 parser.add_argument("--drop-path", type=float, default=None)
@@ -265,14 +266,27 @@ def run(args, args_text: str):
     mean = tuple(args.mean) if args.mean else cfg["mean"]
     std = tuple(args.std) if args.std else cfg["std"]
 
-    if args.jsd_loss or args.aug_splits or args.split_bn or args.resplit:
-        # reference: JSD requires --aug-splits > 1 (GA/train.py:613-615 via
-        # timm); aug splits are not implemented here — fail loudly instead of
-        # silently training with a different objective.
+    # aug-splits / JSD (GA/train.py:433-441,554,560-561,613-615 via timm):
+    # each sample yields a clean + N-1 augmented copies of one primary crop;
+    # JSD loss = CE(clean) + alpha*mean KL(split ‖ mixture). Incompatible
+    # with mixup collate; split-BN model surgery is not supported.
+    num_aug_splits = 0
+    if args.aug_splits > 0:
+        if args.aug_splits <= 1:
+            raise ValueError("A split of 1 makes no sense")  # GA/train.py:435
+        num_aug_splits = args.aug_splits
+    if args.jsd_loss and num_aug_splits <= 1:
+        raise ValueError("--jsd-loss is only valid with --aug-splits >= 2 "
+                         "(GA/train.py:614)")
+    if args.resplit and not num_aug_splits:
         raise NotImplementedError(
-            "--jsd-loss/--aug-splits/--split-bn/--resplit need augmentation "
-            "splits, which (as in the reference recipes, none of which use "
-            "them) are not supported; remove the flag or use --bce-loss")
+            "--resplit without --aug-splits (timm's erase-second-half-batch "
+            "mode) is not supported; none of the reference recipes use it")
+    if args.split_bn:
+        raise NotImplementedError(
+            "--split-bn (per-split BN statistics via timm "
+            "convert_splitbn_model) is not supported; train without it or "
+            "drop --aug-splits")
     if args.apex_amp or args.native_amp:
         # reference AMP-implementation selectors; the one AMP here is bf16
         args.amp = True
@@ -326,6 +340,10 @@ def run(args, args_text: str):
                                   num_classes=num_classes, image_size=test_size,
                                   class_map=args.class_map or None)
     mixup_active = args.mixup > 0 or args.cutmix > 0
+    if mixup_active and num_aug_splits:
+        # collate conflict, as in the reference (GA/train.py:554)
+        raise ValueError("--aug-splits is not compatible with mixup/cutmix; "
+                         "set --mixup 0 --cutmix 0")
     mixup_fn = None
     if mixup_active:
         mixup_fn = Mixup(mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
@@ -338,7 +356,8 @@ def run(args, args_text: str):
         vflip=args.vflip, color_jitter=args.color_jitter,
         reprob=args.reprob, remode=args.remode, recount=args.recount,
         scale=tuple(args.scale), ratio=tuple(args.ratio), mixup_fn=mixup_fn,
-        num_workers=args.workers, seed=args.seed, repeats=args.aug_repeats)
+        num_workers=args.workers, seed=args.seed, repeats=args.aug_repeats,
+        aug_splits=num_aug_splits, resplit=args.resplit)
     eval_batch = args.validation_batch_size or per_dev * n_dev
     eval_batch = max(n_dev, eval_batch // n_dev * n_dev)
     loader_eval = create_loader(dataset_eval, test_size, eval_batch,
@@ -424,7 +443,8 @@ def run(args, args_text: str):
 
     base_loss = create_loss_fn(bce_loss=args.bce_loss, smoothing=args.smoothing,
                                bce_target_thresh=args.bce_target_thresh,
-                               mixup_active=mixup_active)
+                               mixup_active=mixup_active,
+                               jsd_splits=num_aug_splits if args.jsd_loss else 0)
     dec_lam = args.GA_lam if args.GA_lam is not None else args.dec_lam
     step_fn = make_train_step(model, tx, base_loss, dec_lam=dec_lam,
                               ema_decay=ema_decay, grad_accum=grad_accum, mesh=mesh,
