@@ -43,6 +43,42 @@ def load_variables_from_torch(
     return convert_torch_state_dict(sd, variables, translator_for(model_name), strict=strict)
 
 
+def find_local_pretrained(model_name: str) -> Optional[str]:
+    """Resolve --pretrained to a local released checkpoint.
+
+    The reference downloads release .pth.tar files from GitHub
+    (e.g. /root/reference/MAP/models/map_convnext.py:206-210); this
+    environment has no egress, so `--pretrained` searches, in order:
+    $IMTPU_PRETRAINED_DIR, ./pretrained, ~/.cache/imtpu/checkpoints for
+    <model_name>.pth.tar / .pth / .pt. Returns None when absent.
+    """
+    import os
+
+    dirs = [os.environ.get("IMTPU_PRETRAINED_DIR", ""), "pretrained",
+            os.path.expanduser("~/.cache/imtpu/checkpoints")]
+    for d in dirs:
+        if not d:
+            continue
+        for ext in (".pth.tar", ".pth", ".pt"):
+            p = os.path.join(d, model_name + ext)
+            if os.path.isfile(p):
+                return p
+    return None
+
+
+def require_local_pretrained(model_name: str) -> str:
+    p = find_local_pretrained(model_name)
+    if p is None:
+        raise FileNotFoundError(
+            f"--pretrained: no local weights for {model_name}. The reference "
+            "downloads release .pth.tar files; this environment has no "
+            "network egress. Place the released checkpoint at "
+            f"$IMTPU_PRETRAINED_DIR/{model_name}.pth.tar (or ./pretrained/, "
+            "~/.cache/imtpu/checkpoints/), or pass --checkpoint/"
+            "--initial-checkpoint explicitly.")
+    return p
+
+
 def load_pretrained(model, model_name: str, checkpoint_path: str = ""):
     """Attach a pending checkpoint path to the module for init-time loading.
 

@@ -201,7 +201,7 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                   recount: int = 1, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
                   mixup_fn=None, num_workers: int = 4, seed: int = 42,
                   repeats: int = 0, aug_splits: int = 0,
-                  resplit: bool = False) -> DataLoader:
+                  resplit: bool = False, no_aug: bool = False) -> DataLoader:
     from imagenet_models_tpu.data.transforms import (
         EvalTransform,
         IMAGENET_DEFAULT_MEAN,
@@ -211,7 +211,13 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
 
     mean = mean or IMAGENET_DEFAULT_MEAN
     std = std or IMAGENET_DEFAULT_STD
-    if is_training:
+    if is_training and no_aug:
+        # timm --no-aug train path (transforms_factory.py): plain
+        # resize+center-crop+normalize, no flips/jitter/RandAugment/erasing
+        # (GA/train.py:565-573 passes no_aug into timm's create_loader)
+        tf = EvalTransform(input_size, crop_pct=1.0,
+                           interpolation=interpolation, mean=mean, std=std)
+    elif is_training:
         tf = TrainTransform(input_size, interpolation=interpolation, hflip=hflip,
                             vflip=vflip, color_jitter=color_jitter,
                             auto_augment=auto_augment, mean=mean, std=std,

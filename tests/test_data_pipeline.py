@@ -53,6 +53,66 @@ def test_mixup_targets_sum_to_one():
         np.testing.assert_allclose(mt.sum(-1), 1.0, atol=1e-5)
 
 
+def test_mixup_modes_targets_and_consistency():
+    """'pair'/'elem' modes (timm Mixup mode=): targets stay distributions and
+    reflect the actual pixel mix. For pair mode, sample i and n-1-i share a
+    lambda (timm _mix_pair); for elem, lambdas are per-sample."""
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    targets = np.arange(8) % 4
+    for mode in ("pair", "elem"):
+        mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, label_smoothing=0.0,
+                    num_classes=4, mode=mode)
+        for _ in range(5):
+            mi, mt = mix(images, targets, rng)
+            assert mi.shape == images.shape and mt.shape == (8, 4)
+            np.testing.assert_allclose(mt.sum(-1), 1.0, atol=1e-5)
+        # mixup-only: the target mix weight equals the recoverable pixel lam
+        mix2 = Mixup(mixup_alpha=0.8, cutmix_alpha=0.0, label_smoothing=0.0,
+                     num_classes=4, mode=mode)
+        mi, mt = mix2(images, targets, rng)
+        for i in range(8):
+            j = 8 - 1 - i
+            lam_t = mt[i, targets[i]] if targets[i] != targets[j] else 1.0
+            expect = images[i] * lam_t + images[j] * (1.0 - lam_t)
+            np.testing.assert_allclose(mi[i], expect, atol=1e-4)
+
+
+def test_mixup_pair_mode_shares_lambda():
+    rng = np.random.default_rng(3)
+    images = rng.standard_normal((6, 16, 16, 3)).astype(np.float32)
+    targets = np.arange(6)
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=0.0, label_smoothing=0.0,
+                num_classes=6, mode="pair", prob=1.0)
+    _, mt = mix(images, targets, rng)
+    for i in range(3):
+        j = 5 - i
+        np.testing.assert_allclose(mt[i, targets[i]], mt[j, targets[j]], atol=1e-6)
+        np.testing.assert_allclose(mt[i, targets[j]], mt[j, targets[i]], atol=1e-6)
+
+
+def test_cutmix_minmax_bbox_and_lambda():
+    """--cutmix-minmax (timm rand_bbox_minmax): bbox sides uniform in
+    [lo*dim, hi*dim), fully inside; lambda corrected to kept-area fraction
+    and reflected exactly in the targets."""
+    rng = np.random.default_rng(7)
+    images = np.zeros((4, 32, 32, 3), np.float32)
+    for i in range(4):
+        images[i] = i + 1  # constant per-image planes make the mix countable
+    targets = np.arange(4)
+    mix = Mixup(mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.25, 0.5),
+                label_smoothing=0.0, num_classes=4, mode="batch", prob=1.0)
+    assert mix.cutmix_alpha == 1.0  # timm forces alpha=1 under minmax
+    mi, mt = mix(images, targets, rng)
+    for i in range(4):
+        j = 3 - i
+        own = (mi[i, :, :, 0] == i + 1).mean()
+        area = 1.0 - own if i != j else 0.0
+        side_frac = np.sqrt(area)
+        assert 0.2499 <= side_frac <= 0.51 or area == 0.0
+        np.testing.assert_allclose(mt[i, targets[i]], own, atol=1e-5)
+
+
 def test_random_erasing_pixel_mode():
     re_ = RandomErasing(probability=1.0, mode="pixel")
     img = np.zeros((64, 64, 3), np.float32)

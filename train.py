@@ -333,6 +333,16 @@ def run(args, args_text: str):
                  global_batch, per_dev, n_dev, grad_accum)
 
     # data
+    if args.dataset and args.dataset.lower() not in (
+            "imagefolder", "folder", "imagenet", "torch/image_folder",
+            "torch/folder", "torch/imagenet"):
+        # reference routes this to timm's dataset factory (MAP/train.py:602);
+        # only folder-style datasets exist here — refuse loudly rather than
+        # silently reading data_dir as an ImageFolder under the wrong name
+        raise ValueError(
+            f"--dataset {args.dataset!r}: only folder-style datasets are "
+            "supported (tfds/wds/hfds factories need network egress); pass "
+            "--dataset '' and a directory data_dir")
     dataset_train = create_dataset(args.data_dir, args.train_split,
                                    num_classes=num_classes, image_size=input_size,
                                    class_map=args.class_map or None)
@@ -347,17 +357,22 @@ def run(args, args_text: str):
     mixup_fn = None
     if mixup_active:
         mixup_fn = Mixup(mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+                         cutmix_minmax=args.cutmix_minmax,
                          prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
-                         label_smoothing=args.smoothing, num_classes=num_classes)
+                         label_smoothing=args.smoothing, num_classes=num_classes,
+                         mode=args.mixup_mode)
     loader_train = create_loader(
         dataset_train, input_size, global_batch, is_training=True,
-        interpolation=args.train_interpolation or interpolation,
+        # no-aug forces the eval interpolation (GA/train.py:565: 'random'
+        # is not a valid deterministic resize)
+        interpolation=interpolation if args.no_aug
+        else (args.train_interpolation or interpolation),
         mean=mean, std=std, auto_augment=args.aa, hflip=args.hflip,
         vflip=args.vflip, color_jitter=args.color_jitter,
         reprob=args.reprob, remode=args.remode, recount=args.recount,
         scale=tuple(args.scale), ratio=tuple(args.ratio), mixup_fn=mixup_fn,
         num_workers=args.workers, seed=args.seed, repeats=args.aug_repeats,
-        aug_splits=num_aug_splits, resplit=args.resplit)
+        aug_splits=num_aug_splits, resplit=args.resplit, no_aug=args.no_aug)
     eval_batch = args.validation_batch_size or per_dev * n_dev
     eval_batch = max(n_dev, eval_batch // n_dev * n_dev)
     loader_eval = create_loader(dataset_eval, test_size, eval_batch,
@@ -370,6 +385,14 @@ def run(args, args_text: str):
     rng, init_rng = jax.random.split(rng)
     x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     variables = jit_init(model, init_rng, x0, training=False)
+    if args.pretrained:
+        # reference passes pretrained= to create_model (GA/train.py:409);
+        # with no egress this resolves against local released checkpoints
+        from imagenet_models_tpu.ckpt.pretrained import require_local_pretrained
+
+        pre_path = require_local_pretrained(args.model)
+        variables = load_variables_from_torch(args.model, variables, pre_path)
+        _logger.info("loaded pretrained weights %s", pre_path)
     if args.initial_checkpoint:
         if args.initial_checkpoint.endswith((".pth", ".pth.tar", ".pt")):
             variables = load_variables_from_torch(args.model, variables, args.initial_checkpoint)
@@ -435,6 +458,11 @@ def run(args, args_text: str):
     if args.resume:
         state, last_epoch = resume_checkpoint(args.resume, state)
         start_epoch = last_epoch + 1
+        if args.no_resume_opt:
+            # reference: optimizer/loss-scaler state not restored
+            # (MAP/train.py:552-553); weights/EMA/epoch still are
+            state = state.replace(opt_state=tx.init(state.params))
+            _logger.info("resumed weights only (--no-resume-opt)")
         _logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
     if args.start_epoch is not None:
         # manual epoch override (GA/train.py:169-170 semantics)
