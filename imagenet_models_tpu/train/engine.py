@@ -121,9 +121,11 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
 
 
 def validate(state, eval_step, loader, mesh, log_interval: int = 50,
-             log_suffix: str = ""):
+             log_suffix: str = "", tta: int = 0):
     """Top-1/top-5 over the loader; multi-head logits are averaged inside the
-    eval step (reference: MAP/validate.py:275-279)."""
+    eval step (reference: MAP/validate.py:275-279). tta>1: the step returns
+    one flag per group of tta samples (MAP/train.py:1009-1012)."""
+    tta = max(int(tta), 1)
     batch_time = AverageMeter()
     top1 = AverageMeter()
     top5 = AverageMeter()
@@ -141,10 +143,13 @@ def validate(state, eval_step, loader, mesh, log_interval: int = 50,
         images, targets = shard_batch((images, targets), mesh)
         _, c1, c5 = eval_step(state, images, targets)
         c1, c5 = np.asarray(c1), np.asarray(c5)
-        if pad:
-            c1, c5 = c1[:n], c5[:n]
-        top1.update(float(c1.mean()) * 100.0, n)
-        top5.update(float(c5.mean()) * 100.0, n)
+        n_eff = n // tta  # groups fully inside the real samples (pad is at the end)
+        if n_eff == 0:
+            continue  # tail smaller than one tta group; reference unfold drops it
+        if len(c1) > n_eff:
+            c1, c5 = c1[:n_eff], c5[:n_eff]
+        top1.update(float(c1.mean()) * 100.0, n_eff)
+        top5.update(float(c5.mean()) * 100.0, n_eff)
         batch_time.update(time.time() - end)
         end = time.time()
         if batch_idx % log_interval == 0 or batch_idx == last_idx:

@@ -155,10 +155,16 @@ def make_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False):
+def make_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False,
+                   tta: int = 0):
     """Eval step: forward, average multi-head logits (the reference's
     mean-over-heads, /root/reference/MAP/validate.py:275-279), return top1/5
-    correctness flags per example."""
+    correctness flags per example.
+
+    tta>1 additionally averages logits over groups of `tta` consecutive
+    samples and strides the targets (MAP/train.py:1009-1012 `output.unfold`);
+    the returned flags then have B//tta entries (remainder dropped, as the
+    reference's unfold does)."""
 
     def fwd(params, batch_stats, images, targets):
         variables = {"params": params}
@@ -169,6 +175,10 @@ def make_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False):
             logits = sum(o.astype(jnp.float32) for o in out) / len(out)
         else:
             logits = out.astype(jnp.float32)
+        if tta and tta > 1:
+            g = logits.shape[0] // tta
+            logits = logits[: g * tta].reshape(g, tta, -1).mean(axis=1)
+            targets = targets[: g * tta : tta]
         top5 = jax.lax.top_k(logits, 5)[1]
         correct1 = (top5[:, 0] == targets).astype(jnp.float32)
         correct5 = (top5 == targets[:, None]).any(axis=1).astype(jnp.float32)

@@ -168,3 +168,44 @@ def test_save_image_grid(tmp_path):
     save_image_grid(batch, str(p))
     img = Image.open(p)
     assert img.size == (8 * 16, 2 * 16)  # 8 cols x 2 rows
+
+
+def test_validate_tta_group_averaging():
+    """--tta N: eval logits averaged over groups of N consecutive samples,
+    targets strided (MAP/train.py:1009-1012). Fake a loader where each pair's
+    logits disagree individually but agree after averaging."""
+    from imagenet_models_tpu.train.engine import validate
+    from imagenet_models_tpu.train.state import make_eval_step
+
+    class _M:
+        def apply(self, variables, images, training=False):
+            # logits: images' first pixel channel encodes them directly
+            return images[:, 0, 0, :]
+
+    class _L:
+        batch_size = 4
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            # sample logits (4 samples, 6 classes; >=6 so top-5 works):
+            # pair means argmax to cls 1 and cls 2, singles disagree
+            x = np.full((4, 1, 1, 6), -10.0, np.float32)
+            x[0, 0, 0, :3] = [3.0, 2.0, 0.0]
+            x[1, 0, 0, :3] = [0.0, 3.0, 2.5]   # mean [1.5, 2.5, 1.25] => cls 1
+            x[2, 0, 0, :3] = [0.0, 1.0, 4.0]
+            x[3, 0, 0, :3] = [3.5, 0.0, 0.0]   # mean [1.75, .5, 2.0] => cls 2
+            yield x, np.array([1, -1, 2, -1], np.int64)
+
+    from imagenet_models_tpu.train.state import TrainState
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), params={},
+                       batch_stats={}, opt_state=None)
+    mesh = data_mesh(jax.devices("cpu")[:1])
+    step = make_eval_step(_M(), mesh=None, tta=2)
+    metrics = validate(state, step, _L(), mesh, tta=2)
+    assert metrics["top1"] == 100.0
+    step1 = make_eval_step(_M(), mesh=None, tta=0)
+    metrics1 = validate(state, step1, _L(), mesh, tta=0)
+    assert metrics1["top1"] < 100.0

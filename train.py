@@ -141,7 +141,9 @@ parser.add_argument("--split-bn", action="store_true", default=False,
 parser.add_argument("--drop", type=float, default=0.0)
 parser.add_argument("--drop-connect", type=float, default=None)
 parser.add_argument("--drop-path", type=float, default=None)
-parser.add_argument("--drop-block", type=float, default=None)
+parser.add_argument("--drop-block", type=float, default=None,
+                    help="accepted no-op: swallowed by **kwargs in every reference model "
+                         "factory too (e.g. MAP/models/map_resnet.py:445-449)")
 # Multi-head losses (GA + MAP)
 parser.add_argument("--GA_lam", "--ga-lam", dest="GA_lam", type=float, default=None,
                     help="GA decorrelation lambda (GA/train.py:735-745)")
@@ -152,10 +154,13 @@ parser.add_argument("--token-distillation", type=int, default=1)
 # EMA
 parser.add_argument("--model-ema", action="store_true", default=False)
 parser.add_argument("--model-ema-decay", type=float, default=0.9999)
-parser.add_argument("--model-ema-force-cpu", action="store_true", default=False)
+parser.add_argument("--model-ema-force-cpu", action="store_true", default=False,
+                    help="accepted no-op: EMA lives in device TrainState (no host copy)")
 # Misc
 parser.add_argument("--seed", type=int, default=42)
-parser.add_argument("--worker-seeding", type=str, default="all")
+parser.add_argument("--worker-seeding", type=str, default="all",
+                    help="accepted no-op: host pipeline derives one RNG per sample "
+                         "from (seed, epoch, index) regardless")
 parser.add_argument("--log-interval", type=int, default=50)
 parser.add_argument("--recovery-interval", type=int, default=0)
 parser.add_argument("--checkpoint-hist", type=int, default=10)
@@ -164,9 +169,13 @@ parser.add_argument("--grad-accumulation", type=int, default=None,
                     help="explicit grad accumulation (GA-style flag); derived from -tb if unset")
 parser.add_argument("--amp", action="store_true", default=False,
                     help="bf16 compute on TPU")
-parser.add_argument("--channels-last", action="store_true", default=False)
-parser.add_argument("--pin-mem", action="store_true", default=False)
-parser.add_argument("--no-prefetcher", action="store_true", default=False)
+parser.add_argument("--channels-last", action="store_true", default=False,
+                    help="accepted no-op: NHWC is the native layout here")
+parser.add_argument("--pin-mem", action="store_true", default=False,
+                    help="accepted no-op: device transfer is async jax dispatch")
+parser.add_argument("--no-prefetcher", action="store_true", default=False,
+                    help="accepted no-op: the loader always overlaps host decode with "
+                         "device compute")
 parser.add_argument("--output", default="", type=str)
 parser.add_argument("--experiment", default="", type=str)
 parser.add_argument("--project-name", default="imagenet_models_tpu", type=str)
@@ -175,7 +184,9 @@ parser.add_argument("--log-wandb", action="store_true", default=False)
 parser.add_argument("--save-images", action="store_true", default=False)
 parser.add_argument("--sync-bn", action="store_true", default=False,
                     help="accepted; batch stats are psum-synced every step regardless")
-parser.add_argument("--dist-bn", type=str, default="reduce")
+parser.add_argument("--dist-bn", type=str, default="reduce",
+                    help="accepted no-op: batch stats are pmean-synced every step "
+                         "(strictly stronger than per-epoch reduce/broadcast)")
 parser.add_argument("--early-stop", type=int, default=None)
 parser.add_argument("--eval-epoch", type=int, default=1)
 parser.add_argument("--dis_eval", "--dis-eval", action="store_true", default=False)
@@ -198,12 +209,13 @@ parser.add_argument("--use-multi-epochs-loader", action="store_true", default=Fa
 parser.add_argument("--local_rank", default=0, type=int,
                     help="accepted no-op: one host process drives all devices")
 parser.add_argument("--tta", type=int, default=0,
-                    help="accepted no-op: parsed but never consumed in the reference "
-                         "engine either (GA/train.py:253-255)")
+                    help="average eval logits over groups of N consecutive samples "
+                         "(MAP/train.py:1009-1012 output.unfold semantics)")
 # flags the reference parses but never consumes (MAP/train.py:246-329);
 # accepted and warned-on so reference command lines keep working
 parser.add_argument("--mesa", type=float, default=0.0)
-parser.add_argument("--mesa-start-ratio", type=float, default=0.25)
+parser.add_argument("--mesa-start-ratio", type=float, default=0.25,
+                    help="parsed with --mesa; warns unsupported when mesa>0")
 parser.add_argument("--prog-input", type=float, nargs="+", default=None)
 parser.add_argument("--prog-input-milestones", type=float, nargs="+", default=None)
 parser.add_argument("--head-dropout", type=float, default=None)
@@ -374,7 +386,8 @@ def run(args, args_text: str):
         num_workers=args.workers, seed=args.seed, repeats=args.aug_repeats,
         aug_splits=num_aug_splits, resplit=args.resplit, no_aug=args.no_aug)
     eval_batch = args.validation_batch_size or per_dev * n_dev
-    eval_batch = max(n_dev, eval_batch // n_dev * n_dev)
+    quantum = n_dev * max(int(args.tta), 1)  # tta groups must tile the device shard
+    eval_batch = max(quantum, eval_batch // quantum * quantum)
     loader_eval = create_loader(dataset_eval, test_size, eval_batch,
                                 is_training=False, interpolation=interpolation,
                                 crop_pct=crop_pct, mean=mean, std=std,
@@ -477,8 +490,9 @@ def run(args, args_text: str):
     step_fn = make_train_step(model, tx, base_loss, dec_lam=dec_lam,
                               ema_decay=ema_decay, grad_accum=grad_accum, mesh=mesh,
                               token_distillation=bool(args.token_distillation))
-    eval_step = make_eval_step(model, mesh=mesh)
-    eval_step_ema = make_eval_step(model, mesh=mesh, use_ema=True) if ema_decay else None
+    eval_step = make_eval_step(model, mesh=mesh, tta=args.tta)
+    eval_step_ema = (make_eval_step(model, mesh=mesh, use_ema=True, tta=args.tta)
+                     if ema_decay else None)
 
     # output dir + saver
     run_name = args.experiment or "-".join([
@@ -518,10 +532,11 @@ def run(args, args_text: str):
             if do_eval:
                 loader_eval_t = _truncate(loader_eval, args.max_steps_per_epoch)
                 eval_metrics = validate(state, eval_step, loader_eval_t, mesh,
-                                        log_interval=args.log_interval)
+                                        log_interval=args.log_interval, tta=args.tta)
                 if eval_step_ema is not None:
                     ema_metrics = validate(state, eval_step_ema, loader_eval_t, mesh,
-                                           log_interval=args.log_interval, log_suffix=" (EMA)")
+                                           log_interval=args.log_interval, log_suffix=" (EMA)",
+                                           tta=args.tta)
                     # reference semantics: EMA metrics are THE eval metrics
                     # (GA/train.py:670-679); keep the raw-model numbers as extra
                     # columns so short runs (EMA still lagging) stay legible.
