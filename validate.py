@@ -34,7 +34,11 @@ parser.add_argument("--interpolation", default="", type=str)
 parser.add_argument("--num-classes", type=int, default=None)
 parser.add_argument("--checkpoint", default="", type=str,
                     help=".pth.tar / orbax dir; a directory of .pth.tar enables bulk mode")
-parser.add_argument("--pretrained", action="store_true")
+parser.add_argument("--pretrained", action="store_true",
+                    help="load released weights for --model from a local dir "
+                         "($IMTPU_PRETRAINED_DIR, ./pretrained, ~/.cache/imtpu/"
+                         "checkpoints); the reference downloads them "
+                         "(MAP/validate.py:133,157)")
 parser.add_argument("--use-ema", action="store_true")
 parser.add_argument("--amp", action="store_true", help="bf16 compute")
 parser.add_argument("--num-gpu", type=int, default=1, help="accepted no-op")
@@ -159,6 +163,24 @@ def validate_once(args):
             variables, _ = resume_checkpoint(args.checkpoint, variables,
                                              use_ema=args.use_ema)
         _logger.info("loaded %s", args.checkpoint)
+    else:
+        # reference semantics: no --checkpoint implies pretrained=True and the
+        # factory downloads released weights (MAP/validate.py:133,155-162). No
+        # egress here: resolve locally; loud failure only on explicit
+        # --pretrained (random-init eval stays available for smoke/tests).
+        from imagenet_models_tpu.ckpt.pretrained import (
+            find_local_pretrained, require_local_pretrained)
+
+        pre_path = (require_local_pretrained(args.model) if args.pretrained
+                    else find_local_pretrained(args.model))
+        if pre_path:
+            variables = load_variables_from_torch(args.model, variables, pre_path,
+                                                  use_ema=args.use_ema)
+            _logger.info("loaded pretrained weights %s", pre_path)
+        else:
+            _logger.warning("no checkpoint and no local pretrained weights for %s "
+                            "— evaluating RANDOM INIT (the reference would "
+                            "download released weights here)", args.model)
     param_count = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     _logger.info("Model %s created, param count: %d", args.model, param_count)
     variables = replicate(variables, mesh)
@@ -211,6 +233,13 @@ def validate_once(args):
         _jax.tree_util.tree_map_with_path(_collect, variables["params"])
         head_biases = [found[k] for k in sorted(found)] if found else None
 
+    if args.dataset and args.dataset.lower() not in (
+            "imagefolder", "folder", "imagenet", "torch/image_folder",
+            "torch/folder", "torch/imagenet"):
+        # reference routes this to timm's dataset factory (MAP/validate.py:196);
+        # only folder-style datasets exist here
+        raise ValueError(f"--dataset {args.dataset!r}: only folder-style "
+                         "datasets are supported here")
     dataset = create_dataset(args.data, args.split, num_classes=num_classes,
                              image_size=img_size, class_map=args.class_map or None)
     batch = max(n_dev, args.batch_size // n_dev * n_dev)
