@@ -62,7 +62,8 @@ def test_jsd_smoothing_zero_uses_plain_ce():
         jnp.asarray(logits.reshape(b * s, c)), jnp.asarray(np.repeat(t, s)),
         num_splits=s, alpha=0.0, smoothing=0.0))
     ref = F.cross_entropy(torch.from_numpy(logits[:, 0]), torch.from_numpy(t))
-    assert abs(mine - float(ref)) < 1e-5
+    # 1e-4: TPU log_softmax accumulates ~1.6e-5 vs torch CPU fp32
+    assert abs(mine - float(ref)) < 1e-4
 
 
 def test_create_loss_fn_selects_jsd():

@@ -575,9 +575,16 @@ _REF_PATHS = ["/root/reference/MAP/models", "/root/reference/GA"]
 
 def import_ref(module_name: str):
     """Import a reference model file (e.g. 'map_mobilenet', 'ga_convnext')
-    with the stub installed. Returns the module."""
+    with the stub installed. Returns the module.
+
+    The reference paths are removed from sys.path again afterwards —
+    leaving /root/reference/GA on the path would shadow the repo-root
+    `train` module for every later test in the same pytest session."""
     install()
-    for p in _REF_PATHS:
-        if p not in sys.path:
-            sys.path.insert(0, p)
-    return importlib.import_module(module_name)
+    added = [p for p in _REF_PATHS if p not in sys.path]
+    sys.path[:0] = added
+    try:
+        return importlib.import_module(module_name)
+    finally:
+        for p in added:
+            sys.path.remove(p)
