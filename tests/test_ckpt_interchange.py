@@ -211,3 +211,27 @@ def test_validate_cli_logit_extract_boolean(tmp_path, monkeypatch):
     data = np.load(out)
     assert "logits" in data and data["logits"].shape[0] == 4
     assert np.isfinite(result["top1"])
+
+
+def test_validate_cli_pretrained_local_resolver(tmp_path, monkeypatch):
+    """--pretrained resolves $IMTPU_PRETRAINED_DIR/<model>.pth.tar (the
+    reference's create_model(pretrained=True) download, MAP/validate.py:133,
+    155-162, resolved offline) and must produce the same result as passing
+    the same file via --checkpoint."""
+    name = "map_mobilenet_v1"
+    build, _ = FAMILIES[name]
+    tmodel = _randomize(build())
+    ckpt = str(tmp_path / f"{name}.pth.tar")
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+
+    import validate as validate_cli
+
+    common = ["synthetic:16", "--model", name, "-b", "8", "--max-batches", "1",
+              "-j", "2"]
+    ref = validate_cli.validate_once(
+        validate_cli.parser.parse_args(common + ["--checkpoint", ckpt]))
+
+    monkeypatch.setenv("IMTPU_PRETRAINED_DIR", str(tmp_path))
+    got = validate_cli.validate_once(
+        validate_cli.parser.parse_args(common + ["--pretrained"]))
+    assert got["top1"] == ref["top1"] and got["top5"] == ref["top5"]
