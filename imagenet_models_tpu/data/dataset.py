@@ -124,6 +124,22 @@ def load_class_map(path: str) -> dict:
         return {line.strip(): i for i, line in enumerate(f) if line.strip()}
 
 
+#: timm dataset-factory names that resolve to plain folder datasets here.
+#: Anything else (tfds/, wds/, hfds/ ...) needs network egress and must be
+#: refused loudly by the CLIs (reference: MAP/train.py:602, validate.py:196).
+FOLDER_DATASET_NAMES = ("imagefolder", "folder", "imagenet",
+                        "torch/image_folder", "torch/folder", "torch/imagenet")
+
+
+def check_dataset_name(name: str, flag: str = "--dataset") -> None:
+    """Raise for dataset-factory names that cannot be served offline."""
+    if name and name.lower() not in FOLDER_DATASET_NAMES:
+        raise ValueError(
+            f"{flag} {name!r}: only folder-style datasets are supported "
+            "(tfds/wds/hfds factories need network egress); pass "
+            f"{flag} '' and a directory data path")
+
+
 def create_dataset(name_or_root: str, split: str = "train",
                    num_classes: int = 1000, image_size: int = 224,
                    class_map: Optional[str] = None):

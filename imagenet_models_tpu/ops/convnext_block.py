@@ -79,16 +79,9 @@ def _kernel(h_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 import os
 
 
-def _fwd_tile(n: int, c: int, hidden: int) -> int:
-    """Forward token tile sized against scoped VMEM: bigger tiles amortize
-    per-grid-step overhead for small C (stage 1 is 4x the tokens of stage 3
-    at 1/16th the per-token VMEM)."""
-    budget = 72 << 20
-    fixed = 2 * (2 * c * hidden * 2)  # w1/w2 bf16, double-buffered
-    per_tok = hidden * (4 + 2) + c * (4 * 3 + 2 * 4)
-    cap = (budget - fixed) // max(per_tok, 1)
-    # an explicit env value is honored (down to the 8-sublane floor)
-    t = max(8, min(int(os.environ.get("IMTPU_LNMLP_TILE", "8192")), max(256, cap)))
+def _fit_tile(t: int, n: int) -> int:
+    """Clamp a token tile to n on the 8-sublane grid; if it does not divide n,
+    fall back to the largest multiple of 8 that does (whole n as last resort)."""
     t = min(t, n)
     if t % 8 and t > 8:
         t -= t % 8
@@ -100,6 +93,19 @@ def _fwd_tile(n: int, c: int, hidden: int) -> int:
                 break
         t = largest if n % largest == 0 else n
     return t
+
+
+def _fwd_tile(n: int, c: int, hidden: int) -> int:
+    """Forward token tile sized against scoped VMEM: bigger tiles amortize
+    per-grid-step overhead for small C (stage 1 is 4x the tokens of stage 3
+    at 1/16th the per-token VMEM)."""
+    budget = 72 << 20
+    fixed = 2 * (2 * c * hidden * 2)  # w1/w2 bf16, double-buffered
+    per_tok = hidden * (4 + 2) + c * (4 * 3 + 2 * 4)
+    cap = (budget - fixed) // max(per_tok, 1)
+    # an explicit env value is honored (down to the 8-sublane floor)
+    t = max(8, min(int(os.environ.get("IMTPU_LNMLP_TILE", "8192")), max(256, cap)))
+    return _fit_tile(t, n)
 
 
 def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
@@ -228,17 +234,7 @@ def _bwd_tile(n: int, c: int, hidden: int) -> int:
     per_tok = hidden * (4 * 3 + 2 * 2) + c * (4 * 8 + 2 * 6)
     cap = (budget - fixed) // max(per_tok, 1)
     t = max(64, min(int(os.environ.get("IMTPU_LNMLP_BWD_TILE", "1024")), cap))
-    t = min(t, n)
-    if t % 8 and t > 8:
-        t -= t % 8
-    if n % t:
-        largest = 8
-        for d in range(t, 7, -8):
-            if n % d == 0:
-                largest = d
-                break
-        t = largest if n % largest == 0 else n
-    return t
+    return _fit_tile(t, n)
 
 
 def _fused_ln_mlp_bwd_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, g,

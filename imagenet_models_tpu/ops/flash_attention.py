@@ -34,28 +34,31 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _attn_body(q, k, v, bias, *, n: int, np_: int):
+    """qk^T -> (+bias) -> fp32 masked softmax -> @v for one (Np, D) window.
+
+    Single source of the numerics for both kernel layouts (per-window bias
+    and per-head shared bias) so a masking/precision fix cannot diverge them."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if bias is not None:
+        s = s + bias
+    if n != np_:
+        col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+        s = jnp.where(col < n, s, jnp.float32(-1e30))  # padded KEY columns
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n: int, np_: int, g: int,
                  bias_ref=None):
     """One grid step: G windows of (Np, D) q/k/v -> (Np, D) out each."""
-    neg = jnp.float32(-1e30)
-    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
-    key_mask = col < n  # padded KEY columns contribute nothing
-
     for w in range(g):
-        q = q_ref[w]  # (Np, D) bf16/f32
-        k = k_ref[w]
-        v = v_ref[w]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        if bias_ref is not None:
-            s = s + bias_ref[w].astype(jnp.float32)
-        if n != np_:
-            s = jnp.where(key_mask, s, neg)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / denom).astype(q.dtype)
-        o_ref[w] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        bias = bias_ref[w].astype(jnp.float32) if bias_ref is not None else None
+        o_ref[w] = _attn_body(q_ref[w], k_ref[w], v_ref[w], bias,
+                              n=n, np_=np_).astype(o_ref.dtype)
 
 
 def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -122,23 +125,10 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _attn_kernel_heads(q_ref, k_ref, v_ref, b_ref, o_ref, *, n: int, np_: int,
                        g: int):
     """Per-head shared bias: q/k/v blocks (G, 1, Np, Dp), bias (1, Np, Np)."""
-    neg = jnp.float32(-1e30)
-    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
-    key_mask = col < n
-    bias = b_ref[0].astype(jnp.float32)
+    bias = b_ref[0].astype(jnp.float32)  # loaded once, shared by all G windows
     for w in range(g):
-        q = q_ref[w, 0]
-        k = k_ref[w, 0]
-        v = v_ref[w, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + bias
-        if n != np_:
-            s = jnp.where(key_mask, s, neg)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
-        o_ref[w, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        o_ref[w, 0] = _attn_body(q_ref[w, 0], k_ref[w, 0], v_ref[w, 0], bias,
+                                 n=n, np_=np_).astype(o_ref.dtype)
 
 
 def fused_window_attention_heads(q, k, v, bias, group: int = 0,

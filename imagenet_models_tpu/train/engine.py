@@ -87,13 +87,9 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, images, targets, step_rng)
         pending.append((batch_idx, metrics, n))
-        batch_time.update(time.time() - end)
 
-        if save_images_dir and batch_idx % log_interval == 0:
-            # debug batch dumps every log interval (GA/train.py:803-808)
-            save_image_grid(images, os.path.join(
-                save_images_dir, f"train-batch-{batch_idx}.jpg"))
-        if batch_idx % log_interval == 0 or batch_idx == last_idx:
+        do_log = batch_idx % log_interval == 0 or batch_idx == last_idx
+        if do_log:
             # drain async metrics; NaN watchdog here (amortized device sync)
             for bi, m, bn in pending:
                 loss = float(m["loss"])
@@ -102,7 +98,12 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
                     raise NaNWatchdog(f"epoch {epoch} batch {bi}")
                 losses.update(loss, bn)
             pending.clear()
-            rate = n / max(batch_time.val, 1e-9)
+        # timed AFTER the drain so blocking device syncs are charged to the
+        # iteration; with async dispatch the per-interval average is the
+        # honest wall rate, the .val of a non-drain iteration is not
+        batch_time.update(time.time() - end)
+        if do_log:
+            rate = n / max(batch_time.avg, 1e-9)
             lr_now = float(lr_fn(epoch + batch_idx / spe)) if lr_fn else float("nan")
             _logger.info(
                 "Train: %d [%4d/%d (%3.0f%%)]  Loss: %.4g (%.3g)  "
@@ -110,6 +111,10 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
                 epoch, batch_idx, len(loader), 100.0 * batch_idx / max(last_idx, 1),
                 losses.val, losses.avg, batch_time.val, rate, lr_now,
                 data_time.val, data_time.avg)
+        if save_images_dir and batch_idx % log_interval == 0:
+            # debug batch dumps every log interval (GA/train.py:803-808)
+            save_image_grid(images, os.path.join(
+                save_images_dir, f"train-batch-{batch_idx}.jpg"))
 
         if saver is not None and recovery_interval and (
                 batch_idx == last_idx or (batch_idx + 1) % recovery_interval == 0):

@@ -39,6 +39,25 @@ def wd_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
 
+def set_schedule_count(opt_state, count: int):
+    """Point the LR-schedule step counter at `count` steps.
+
+    timm steps its LR scheduler by epoch, independently of the optimizer
+    (MAP/train.py:552-553 drops only optimizer/scaler state under
+    --no-resume-opt). Here the schedule is keyed on the counter inside
+    `optax`'s ScaleByScheduleState, so a rebuilt (`--no-resume-opt`) or
+    epoch-overridden (`--start-epoch`) optimizer state must have that
+    counter re-pointed or the warmup/cosine would silently rewind to step 0
+    while the logs display the epoch-based LR. Only ScaleByScheduleState is
+    touched: Adam/LAMB bias-correction counts stay fresh, as with a fresh
+    torch optimizer."""
+    is_sched = lambda x: isinstance(x, optax.ScaleByScheduleState)  # noqa: E731
+    return jax.tree_util.tree_map(
+        lambda x: optax.ScaleByScheduleState(
+            count=jnp.asarray(count, jnp.int32)) if is_sched(x) else x,
+        opt_state, is_leaf=is_sched)
+
+
 def create_optimizer(
     opt: str = "lamb",
     learning_rate: Any = 1e-3,

@@ -209,3 +209,35 @@ def test_validate_tta_group_averaging():
     step1 = make_eval_step(_M(), mesh=None, tta=0)
     metrics1 = validate(state, step1, _L(), mesh, tta=0)
     assert metrics1["top1"] < 100.0
+
+
+def test_set_schedule_count_repoints_lr_only():
+    """--no-resume-opt/--start-epoch: the LR-schedule counter must follow the
+    engine epoch while Adam/LAMB bias-correction counts stay fresh (timm
+    steps its scheduler by epoch outside the optimizer, MAP/train.py:552)."""
+    import optax
+
+    from imagenet_models_tpu.train.optim import create_optimizer, set_schedule_count
+
+    seen = []
+
+    def lr(step):
+        seen.append(int(step))
+        return 1e-3
+
+    tx = create_optimizer("lamb", learning_rate=lr, weight_decay=0.05)
+    params = {"w": jnp.zeros((4, 4))}
+    st = set_schedule_count(tx.init(params), 1234)
+
+    sched = [s for s in jax.tree_util.tree_leaves(
+        st, is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState))
+        if isinstance(x := s, optax.ScaleByScheduleState)]
+    assert sched and all(int(s.count) == 1234 for s in sched)
+    adam = [s for s in jax.tree_util.tree_leaves(
+        st, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam and all(int(s.count) == 0 for s in adam)
+
+    seen.clear()
+    _updates, _ = tx.update({"w": jnp.ones((4, 4))}, st, params)
+    assert 1234 in seen  # the applied LR was evaluated at the repointed step

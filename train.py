@@ -345,23 +345,17 @@ def run(args, args_text: str):
                  global_batch, per_dev, n_dev, grad_accum)
 
     # data
-    if args.dataset and args.dataset.lower() not in (
-            "imagefolder", "folder", "imagenet", "torch/image_folder",
-            "torch/folder", "torch/imagenet"):
-        # reference routes this to timm's dataset factory (MAP/train.py:602);
-        # only folder-style datasets exist here — refuse loudly rather than
-        # silently reading data_dir as an ImageFolder under the wrong name
-        raise ValueError(
-            f"--dataset {args.dataset!r}: only folder-style datasets are "
-            "supported (tfds/wds/hfds factories need network egress); pass "
-            "--dataset '' and a directory data_dir")
+    from imagenet_models_tpu.data.dataset import check_dataset_name
+
+    check_dataset_name(args.dataset)
     dataset_train = create_dataset(args.data_dir, args.train_split,
                                    num_classes=num_classes, image_size=input_size,
                                    class_map=args.class_map or None)
     dataset_eval = create_dataset(args.data_dir, args.val_split,
                                   num_classes=num_classes, image_size=test_size,
                                   class_map=args.class_map or None)
-    mixup_active = args.mixup > 0 or args.cutmix > 0
+    mixup_active = (args.mixup > 0 or args.cutmix > 0
+                    or args.cutmix_minmax is not None)  # GA/train.py:547
     if mixup_active and num_aug_splits:
         # collate conflict, as in the reference (GA/train.py:554)
         raise ValueError("--aug-splits is not compatible with mixup/cutmix; "
@@ -468,18 +462,26 @@ def run(args, args_text: str):
     ema_decay = args.model_ema_decay if args.model_ema else 0.0
     state = create_train_state(variables, tx, ema_decay=ema_decay)
     start_epoch = 0
+    from imagenet_models_tpu.train.optim import set_schedule_count
+
     if args.resume:
         state, last_epoch = resume_checkpoint(args.resume, state)
         start_epoch = last_epoch + 1
         if args.no_resume_opt:
             # reference: optimizer/loss-scaler state not restored
-            # (MAP/train.py:552-553); weights/EMA/epoch still are
-            state = state.replace(opt_state=tx.init(state.params))
+            # (MAP/train.py:552-553); weights/EMA/epoch still are — and the
+            # LR schedule continues from the resume epoch (timm steps it by
+            # epoch outside the optimizer)
+            state = state.replace(opt_state=set_schedule_count(
+                tx.init(state.params), start_epoch * steps_per_epoch))
             _logger.info("resumed weights only (--no-resume-opt)")
         _logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
     if args.start_epoch is not None:
-        # manual epoch override (GA/train.py:169-170 semantics)
+        # manual epoch override (GA/train.py:169-170 semantics); the applied
+        # LR must follow the override, not the in-state counter
         start_epoch = args.start_epoch
+        state = state.replace(opt_state=set_schedule_count(
+            state.opt_state, start_epoch * steps_per_epoch))
     state = replicate(state, mesh)
 
     base_loss = create_loss_fn(bce_loss=args.bce_loss, smoothing=args.smoothing,
@@ -528,7 +530,11 @@ def run(args, args_text: str):
                 save_images_dir=output_dir if args.save_images else "")
 
             do_eval = not args.dis_eval and (epoch + 1) >= args.eval_epoch
+            # keep the column set stable from row 0: with EMA on, eval rows
+            # carry raw_* extras, and summary.csv's header is written once
             eval_metrics = {"top1": 0.0, "top5": 0.0}
+            if eval_step_ema is not None:
+                eval_metrics.update({"raw_top1": 0.0, "raw_top5": 0.0})
             if do_eval:
                 loader_eval_t = _truncate(loader_eval, args.max_steps_per_epoch)
                 eval_metrics = validate(state, eval_step, loader_eval_t, mesh,

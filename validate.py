@@ -233,13 +233,9 @@ def validate_once(args):
         _jax.tree_util.tree_map_with_path(_collect, variables["params"])
         head_biases = [found[k] for k in sorted(found)] if found else None
 
-    if args.dataset and args.dataset.lower() not in (
-            "imagefolder", "folder", "imagenet", "torch/image_folder",
-            "torch/folder", "torch/imagenet"):
-        # reference routes this to timm's dataset factory (MAP/validate.py:196);
-        # only folder-style datasets exist here
-        raise ValueError(f"--dataset {args.dataset!r}: only folder-style "
-                         "datasets are supported here")
+    from imagenet_models_tpu.data.dataset import check_dataset_name
+
+    check_dataset_name(args.dataset)
     dataset = create_dataset(args.data, args.split, num_classes=num_classes,
                              image_size=img_size, class_map=args.class_map or None)
     batch = max(n_dev, args.batch_size // n_dev * n_dev)
