@@ -32,6 +32,17 @@ from imagenet_models_tpu.nn.layers import (
 Dtype = Any
 
 
+def _scaled_trunc_normal(scale: float):
+    base = trunc_normal_init()
+    if scale == 1.0:
+        return base
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
 class ConvNeXtBlock(nn.Module):
     """dw7x7 conv -> LN -> pw Dense(4x) -> GELU -> pw Dense -> layer-scale ->
     drop-path + residual (reference: map_convnext.py:14-40).
@@ -139,7 +150,12 @@ class ConvNeXt(nn.Module):
         x = jnp.mean(x, axis=(1, 2))
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not training)
-        return Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        # head_init_scale: the reference multiplies head weight AND bias after
+        # init (map_convnext.py:91-93); scaling the init is equivalent
+        s = self.head_init_scale
+        return Dense(self.num_classes, dtype=self.dtype,
+                     kernel_init=_scaled_trunc_normal(s),
+                     bias_init=nn.initializers.zeros_init(), name="head")(x)
 
 
 CONVNEXT_RULES = [

@@ -25,7 +25,7 @@ from imagenet_models_tpu.ckpt.pretrained import register_torch_rules
 from imagenet_models_tpu.ckpt.reverse_rules import MAP_HEAD_REVERSE, register_reverse_rules
 from imagenet_models_tpu.ckpt.torch_convert import MAP_HEAD_RULES
 from imagenet_models_tpu.core.registry import register_default_cfg, register_model
-from imagenet_models_tpu.nn.ga_head import make_divisible
+from imagenet_models_tpu.nn.ga_head import SEModule, make_divisible
 from imagenet_models_tpu.nn.heads import MAPHead
 from imagenet_models_tpu.nn.layers import (
     BatchNorm,
@@ -64,23 +64,6 @@ class BNAct(nn.Module):
         x = BatchNorm(epsilon=self.eps, dtype=self.dtype, name="bn")(
             x, use_running_average=not training)
         return gelu(x) if self.apply_act else x
-
-
-class SEModuleSilu(nn.Module):
-    """timm SEModule with silu act (map_maxvit.py:489-503 attn_kwargs)."""
-
-    rd_channels: int
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.rd_channels, (1, 1), use_bias=True, dtype=self.dtype,
-                    kernel_init=trunc_normal_init(), name="fc1")(s)
-        s = jax.nn.silu(s)
-        s = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype,
-                    kernel_init=trunc_normal_init(), name="fc2")(s)
-        return x * jax.nn.sigmoid(s)
 
 
 class MbConvBlock(nn.Module):
@@ -122,7 +105,8 @@ class MbConvBlock(nn.Module):
                     feature_group_count=mid_chs, use_bias=False, dtype=self.dtype,
                     kernel_init=trunc_normal_init(), name="conv2_kxk")(h)
         h = BNAct(dtype=self.dtype, name="norm2")(h, training=training)
-        h = SEModuleSilu(int(self.attn_ratio * self.out_chs), dtype=self.dtype, name="se")(h)
+        h = SEModule(int(self.attn_ratio * self.out_chs), act=jax.nn.silu,
+                     dtype=self.dtype, name="se")(h)  # silu gate: map_maxvit.py:489-503
         h = nn.Conv(self.out_chs, (1, 1), use_bias=True, dtype=self.dtype,
                     kernel_init=trunc_normal_init(), name="conv3_1x1")(h)
         h = DropPath(self.drop_path)(h, deterministic=not training)
@@ -247,9 +231,12 @@ class MaxxVit(nn.Module):
             )
             return head(features, training=training, pre_logits=pre_logits)
 
-        # NormMlpClassifierHead: LN -> GAP -> fc hidden + tanh -> drop -> fc
-        x = LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="head_norm")(x)
+        # timm NormMlpClassifierHead is "A Pool -> Norm -> Mlp Classifier
+        # Head": GAP first, LN over the pooled vector, then fc hidden + tanh
+        # -> drop -> fc (map_maxvit.py:1226-1232; LN before pooling is NOT
+        # equivalent — LN is nonlinear across tokens)
         x = jnp.mean(x, axis=(1, 2))
+        x = LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="head_norm")(x)
         x = jnp.tanh(Dense(self.head_hidden_size, dtype=self.dtype, name="head_pre_logits")(x))
         x = nn.Dropout(self.drop_rate)(x, deterministic=not training)
         return Dense(self.num_classes, dtype=self.dtype, name="head_fc")(x)

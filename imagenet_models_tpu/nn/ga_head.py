@@ -104,9 +104,11 @@ class LayerScaleBlockClassAttn(nn.Module):
 
 class SEModule(nn.Module):
     """timm SEModule as used by create_attn('se', width, rd_ratio=1/4)
-    (reference: ga_convnext.py:279)."""
+    (reference: ga_convnext.py:279). MaxViT's MBConv uses the same module
+    with a silu gate-act (map_maxvit.py:489-503) — select via `act`."""
 
     rd_channels: int
+    act: Callable = nn.relu
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -114,7 +116,7 @@ class SEModule(nn.Module):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.Conv(self.rd_channels, (1, 1), use_bias=True, dtype=self.dtype,
                     kernel_init=trunc_normal_init(), name="fc1")(s)
-        s = nn.relu(s)
+        s = self.act(s)
         s = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype,
                     kernel_init=trunc_normal_init(), name="fc2")(s)
         return x * jax.nn.sigmoid(s)

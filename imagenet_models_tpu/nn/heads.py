@@ -505,7 +505,10 @@ class MAPHead(nn.Module):
             return SplitNormHead(self.num_classes, self.fc_drop, nt=self.n_tokens,
                                  dtype=self.dtype, name=f"heads_{i}")
         if self.head_fn == "norm_mlp":
-            return NormMlpHead(self.num_classes, self.fc_drop, dtype=self.dtype,
+            # fc_drop deliberately NOT passed: the reference's try/except head
+            # construction (map.py head_fn(ch, nc, fc_drop, nt=nt) raises
+            # TypeError for NormMlpHead) always builds it with drop=0
+            return NormMlpHead(self.num_classes, 0.0, dtype=self.dtype,
                                name=f"heads_{i}")
         if self.head_fn == "linear":
             return Dense(self.num_classes, dtype=self.dtype, name=f"heads_{i}")

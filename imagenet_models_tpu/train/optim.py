@@ -76,10 +76,12 @@ def create_optimizer(
     elif opt == "adamw":
         tx = optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
                          weight_decay=weight_decay, mask=mask)
-    elif opt in ("sgd", "momentum"):
+    elif opt in ("sgd", "nesterov", "momentum"):
+        # timm: 'sgd'/'nesterov' are Nesterov SGD, 'momentum' is plain SGD
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay, mask=mask),
-            optax.sgd(learning_rate, momentum=momentum, nesterov=True),
+            optax.sgd(learning_rate, momentum=momentum,
+                      nesterov=opt != "momentum"),
         )
     elif opt == "adam":
         tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)

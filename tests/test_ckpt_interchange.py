@@ -67,6 +67,13 @@ def _build_maxvit():
     return mod.map_maxvit_tiny_tf_224()
 
 
+def _build_maxvit_plain():
+    # the plain factory exercises timm's NormMlpClassifierHead (pool -> norm
+    # -> mlp, map_maxvit.py:1226-1232) instead of the MAPHead
+    mod = timm_stub.import_ref("map_maxvit")
+    return mod.maxvit_tiny_tf_224()
+
+
 def _build_fastervit():
     mod = timm_stub.import_ref("map_fastervit")
     return mod.map_faster_vit_3_224()
@@ -92,6 +99,7 @@ FAMILIES = {
     "map_resnet50": (_build_resnet, 42.71),
     "map_pit_s": (_build_pit, 36.15),
     "map_maxvit_tiny_tf_224": (_build_maxvit, 49.96),
+    "maxvit_tiny_tf_224": (_build_maxvit_plain, 30.92),
     "map_faster_vit_3_224": (_build_fastervit, 187.34),
     "ga_convnext_tiny_688": (_build_ga_convnext, 47.82),
     # the paper row says 42.0M (GA/README.md:84) but no factory exists in the

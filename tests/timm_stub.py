@@ -126,6 +126,39 @@ class SelectAdaptivePool2d(nn.Module):
         return self.flatten(x)
 
 
+class NormMlpClassifierHead(nn.Module):
+    """timm 0.9.2 NormMlpClassifierHead: 'A Pool -> Norm -> Mlp Classifier
+    Head' — GAP, LayerNorm over the pooled vector, hidden fc + tanh, drop,
+    fc. NCHW input; norm_layer is LayerNorm2d on the (B,C,1,1) pooled map."""
+
+    def __init__(self, in_features, num_classes, hidden_size=None,
+                 pool_type="avg", drop_rate=0.0, norm_layer=None):
+        super().__init__()
+        import collections
+
+        self.global_pool = SelectAdaptivePool2d(pool_type)
+        self.norm = (norm_layer or (lambda c: LayerNorm2d(c)))(in_features)
+        self.flatten = nn.Flatten(1) if pool_type else nn.Identity()
+        if hidden_size:
+            self.pre_logits = nn.Sequential(collections.OrderedDict([
+                ("fc", nn.Linear(in_features, hidden_size)),
+                ("act", nn.Tanh()),
+            ]))
+            in_features = hidden_size
+        else:
+            self.pre_logits = nn.Identity()
+        self.drop = nn.Dropout(drop_rate)
+        self.fc = nn.Linear(in_features, num_classes) if num_classes > 0 else nn.Identity()
+
+    def forward(self, x, pre_logits=False):
+        x = self.global_pool(x)
+        x = self.norm(x)
+        x = self.flatten(x)
+        x = self.pre_logits(x)
+        x = self.drop(x)
+        return x if pre_logits else self.fc(x)
+
+
 class ClassifierHead(nn.Module):
     def __init__(self, in_features, num_classes, pool_type="avg", drop_rate=0.0,
                  use_conv=False):
@@ -507,7 +540,8 @@ def install():
     for n, v in dict(
         Mlp=Mlp, ConvMlp=ConvMlp, DropPath=DropPath, LayerNorm=LayerNorm,
         LayerNorm2d=LayerNorm2d, ClassifierHead=ClassifierHead,
-        NormMlpClassifierHead=ClassifierHead, SelectAdaptivePool2d=SelectAdaptivePool2d,
+        NormMlpClassifierHead=NormMlpClassifierHead,
+        SelectAdaptivePool2d=SelectAdaptivePool2d,
         create_attn=create_attn, get_act_layer=get_act_layer,
         get_norm_layer=get_norm_layer, get_norm_act_layer=get_norm_act_layer,
         create_conv2d=create_conv2d, create_pool2d=create_pool2d,

@@ -392,6 +392,11 @@ def run(args, args_text: str):
     rng, init_rng = jax.random.split(rng)
     x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     variables = jit_init(model, init_rng, x0, training=False)
+    from imagenet_models_tpu.core.reinit import reference_init
+
+    # family-specific reference init schemes (kaiming/torch-default families;
+    # no-op for convnext/maxvit) — matters for from-scratch training only
+    variables = reference_init(args.model, variables, seed=args.seed)
     if args.pretrained:
         # reference passes pretrained= to create_model (GA/train.py:409);
         # with no egress this resolves against local released checkpoints
