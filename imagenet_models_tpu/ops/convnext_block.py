@@ -39,6 +39,87 @@ def _erf_poly(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
+def _horner(t, coefs):
+    r = jnp.float32(coefs[-1])
+    for c in coefs[-2::-1]:
+        r = r * t + jnp.float32(c)
+    return r
+
+
+# Exp/divide-free erf: 2-segment minimax polynomial (odd z*P(z^2) near 0,
+# centered direct fit on the tail, clamp beyond 3.7 where erf = 1 - 1.7e-7).
+# Composite fp32 max error 1.4e-6 over the whole real line — below the bf16
+# cast applied to every GELU output and the kernel parity tolerances (2e-5).
+# Hypothesis was that exp/divide are multi-pass VPU transcendentals while
+# this is pure FMAs. MEASURED SLOWER on the full train step (v5e, B=128,
+# 2026-08-18): poly 1093 img/s train / 3587 eval vs exact 1209 / 3700 — the
+# 2-3 segment selects + 7-10-term Horner chains cost more VPU cycles than
+# Mosaic's exp. Kept as an opt-in probe (IMTPU_GELU=poly); default "exact".
+_ERF_P1 = (1.1283791512572074, -0.3761253105026157, 0.11282597657971125,
+           -0.02681657417136783, 0.005125165193585216,
+           -0.0007516784278039509, 6.4051461635546e-05)  # in z^2, z<=1.25
+_ERF_P2 = (0.9995352871436075, 0.002468079162414658, -0.006114579781157951,
+           0.009232915153350015, -0.009353278783536754, 0.006616314794094046,
+           -0.0030314574419528094, 0.0003727606298336841,
+           0.00047253587831603335, -0.00019980823867811354)  # in z-2.475
+
+
+def _erf_poly_noexp(z):
+    a = jnp.minimum(jnp.abs(z), 3.7)
+    t = a * a
+    r1 = a * _horner(t, _ERF_P1)
+    r2 = _horner(a - 2.475, _ERF_P2)
+    r = jnp.minimum(jnp.where(a <= 1.25, r1, r2), 1.0)
+    return jnp.sign(z) * r
+
+
+# d/dx GELU minus 0.5 is odd: 3-segment fit, fp32 max error 1.2e-6.
+_GG_Q1 = (0.7978845599877954, -0.2659614605754057, 0.05984067639752572,
+          -0.009495873268150058, 0.001148933921839538,
+          -0.00010782679500034086, 6.460223976377059e-06)  # in x^2, x<=1.25
+_GG_Q2 = (0.5718637646166909, -0.10495713513197283, 0.022858549135169298,
+          0.05024747710010098, -0.04169145564639595, 0.007331018318111614,
+          0.005343320881894571, -0.0024025254872636704,
+          -5.946164454156466e-05)  # in x-2.125, 1.25<x<=3.0
+_GG_Q3 = (0.5001737949671426, -0.0007001981890235917, 0.0013097856812924228,
+          -0.0014831526777259597, 0.0011486024229091613,
+          -0.0006438145972161522, 0.00019760163200512377,
+          2.9664524830316e-05, -3.066304331977153e-05)  # in x-4.275, x<=5.55
+
+
+def _gelu_grad_noexp(x):
+    a = jnp.minimum(jnp.abs(x), 5.55)
+    t = a * a
+    r1 = a * _horner(t, _GG_Q1)
+    r2 = _horner(a - 2.125, _GG_Q2)
+    r3 = _horner(a - 4.275, _GG_Q3)
+    r = jnp.where(a <= 1.25, r1, jnp.where(a <= 3.0, r2, r3))
+    return 0.5 + jnp.sign(x) * r
+
+
+# In-kernel GELU implementation: "exact" (default) = A&S erf (1 exp + 1
+# divide per element, fastest measured); "poly" = exp/divide-free minimax
+# polynomials above (measured slower, see A/B note); "relu" = timing probe
+# ONLY (wrong numerics — never in production paths).
+_GELU_IMPL = os.environ.get("IMTPU_GELU", "exact")
+
+
+def _kernel_gelu(pre):
+    if _GELU_IMPL == "relu":
+        return jnp.maximum(pre, 0.0)
+    if _GELU_IMPL == "exact":
+        return 0.5 * pre * (1.0 + _erf_poly(pre * (2 ** -0.5)))
+    return 0.5 * pre * (1.0 + _erf_poly_noexp(pre * (2 ** -0.5)))
+
+
+def _kernel_gelu_grad(pre):
+    if _GELU_IMPL == "relu":
+        return (pre > 0.0).astype(jnp.float32)
+    if _GELU_IMPL == "exact":
+        return _gelu_grad(pre)
+    return _gelu_grad_noexp(pre)
+
+
 def dw_conv7(x, dw_w, dw_b):
     """Depthwise 7x7 (XLA lowering, fast on TPU)."""
     return jax.lax.conv_general_dilated(
@@ -70,13 +151,10 @@ def _kernel(h_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     tokens = ln.astype(out_ref.dtype)
     hmid = jnp.dot(tokens, w1_ref[:], preferred_element_type=jnp.float32)
     hmid = hmid + b1_ref[:].astype(jnp.float32)
-    hmid = (0.5 * hmid * (1.0 + _erf_poly(hmid * (2 ** -0.5)))).astype(out_ref.dtype)
+    hmid = _kernel_gelu(hmid).astype(out_ref.dtype)
     out = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
     out_ref[:] = (out * gamma_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
-
-
-import os
 
 
 def _fit_tile(t: int, n: int) -> int:
@@ -162,7 +240,7 @@ def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     tokens = ln.astype(cdt)
     pre1 = jnp.dot(tokens, w1_ref[:], preferred_element_type=jnp.float32)
     pre1 = pre1 + b1_ref[:].astype(jnp.float32)
-    hmid = (0.5 * pre1 * (1.0 + _erf_poly(pre1 * (2 ** -0.5))))
+    hmid = _kernel_gelu(pre1)
     hmid_c = hmid.astype(cdt)
     pre2 = jnp.dot(hmid_c, w2_ref[:], preferred_element_type=jnp.float32)
     pre2 = pre2 + b2_ref[:].astype(jnp.float32)
@@ -184,7 +262,7 @@ def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         dpre2_c, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    dpre1 = dhmid * _gelu_grad(pre1)
+    dpre1 = dhmid * _kernel_gelu_grad(pre1)
     db1_p = jnp.sum(dpre1, axis=0, keepdims=True)
     dpre1_c = dpre1.astype(cdt)
     dw1_p = jax.lax.dot_general(

@@ -91,3 +91,25 @@ def test_custom_vjp_wires_fused_backward(monkeypatch):
     for r, o in zip(ref, got):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=5e-5, atol=5e-5)
+
+
+def test_noexp_gelu_polynomials_match_exact():
+    """The exp/divide-free in-kernel GELU polys (opt-in IMTPU_GELU=poly;
+    measured slower than exact on the full step, kept as a probe) stay well
+    inside the kernel parity tolerances against exact erf."""
+    x = jnp.asarray(np.linspace(-30.0, 30.0, 400001), jnp.float32)
+    erf_err = jnp.max(jnp.abs(cb._erf_poly_noexp(x) - jax.scipy.special.erf(x)))
+    assert float(erf_err) < 2e-6, float(erf_err)
+
+    sqrt2 = np.sqrt(2.0)
+    xs = np.asarray(x, np.float64)
+    gelu_exact = 0.5 * xs * (1.0 + np.vectorize(__import__("math").erf)(xs / sqrt2))
+    gelu_poly = 0.5 * x * (1.0 + cb._erf_poly_noexp(x * (2 ** -0.5)))
+    gelu_err = np.max(np.abs(np.asarray(gelu_poly, np.float64) - gelu_exact))
+    # absolute error grows as 0.5*|x|*erf_err; bound at |x|<=30
+    assert gelu_err < 3e-5, gelu_err
+
+    phi = np.exp(-0.5 * xs * xs) / np.sqrt(2 * np.pi)
+    gg_exact = 0.5 * (1.0 + np.vectorize(__import__("math").erf)(xs / sqrt2)) + xs * phi
+    gg_err = np.max(np.abs(np.asarray(cb._gelu_grad_noexp(x), np.float64) - gg_exact))
+    assert gg_err < 2e-6, gg_err
