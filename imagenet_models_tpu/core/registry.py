@@ -40,6 +40,7 @@ def default_cfg(name: str) -> Dict[str, Any]:
     base = {
         "input_size": (224, 224, 3),
         "crop_pct": 0.875,
+        "crop_mode": "center",
         "interpolation": "bicubic",
         "mean": (0.485, 0.456, 0.406),
         "std": (0.229, 0.224, 0.225),

@@ -195,6 +195,7 @@ class DataLoader:
 
 def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                   interpolation: str = "bicubic", crop_pct: float = 0.875,
+                  crop_mode: str = "center",
                   mean=None, std=None, auto_augment: Optional[str] = None,
                   hflip: float = 0.5, vflip: float = 0.0, color_jitter: float = 0.0,
                   reprob: float = 0.0, remode: str = "pixel",
@@ -225,7 +226,8 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                             scale=scale, ratio=ratio)
     else:
         tf = EvalTransform(input_size, crop_pct=crop_pct,
-                           interpolation=interpolation, mean=mean, std=std)
+                           interpolation=interpolation, mean=mean, std=std,
+                           crop_mode=crop_mode)
     return DataLoader(dataset, batch_size, tf, is_training=is_training,
                       mixup_fn=mixup_fn, num_workers=num_workers, seed=seed,
                       repeats=repeats, aug_splits=aug_splits, resplit=resplit)

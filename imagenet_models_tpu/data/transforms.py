@@ -56,14 +56,35 @@ def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
 
 
 def resize_center_crop(img: Image.Image, size: int, crop_pct: float = 0.875,
-                       interpolation="bicubic") -> Image.Image:
+                       interpolation="bicubic", crop_mode: str = "center",
+                       fill=(0.0, 0.0, 0.0)) -> Image.Image:
+    """timm transforms_factory eval modes. 'center': resize shorter side to
+    floor(size/crop_pct) keeping aspect, center crop. 'squash': resize BOTH
+    dims to floor(size/crop_pct) (aspect discarded), center crop — the mode
+    the tf-ported MaxViT 384/512 and FasterViT-21k cfgs declare
+    (map_maxvit.py:1723-1783, map_fastervit.py:60-79). 'border': resize so
+    the LONGEST side fits floor(size/crop_pct), pad to square with the mean
+    fill, center crop."""
     scale_size = int(math.floor(size / crop_pct))
     w, h = img.size
-    if w < h:
-        ow, oh = scale_size, int(scale_size * h / w)
+    if crop_mode == "squash":
+        img = img.resize((scale_size, scale_size), _PIL_INTERP[interpolation])
+    elif crop_mode == "border":
+        ratio = scale_size / max(w, h)
+        ow, oh = max(1, round(w * ratio)), max(1, round(h * ratio))
+        img = img.resize((ow, oh), _PIL_INTERP[interpolation])
+        side = max(ow, oh, size)
+        canvas = Image.new("RGB", (side, side),
+                           tuple(int(round(255 * m)) for m in fill))
+        canvas.paste(img, ((side - ow) // 2, (side - oh) // 2))
+        img = canvas
     else:
-        ow, oh = int(scale_size * w / h), scale_size
-    img = img.resize((ow, oh), _PIL_INTERP[interpolation])
+        if w < h:
+            ow, oh = scale_size, int(scale_size * h / w)
+        else:
+            ow, oh = int(scale_size * w / h), scale_size
+        img = img.resize((ow, oh), _PIL_INTERP[interpolation])
+    ow, oh = img.size
     left, top = (ow - size) // 2, (oh - size) // 2
     return img.crop((left, top, left + size, top + size))
 
@@ -169,10 +190,14 @@ class TrainTransform:
 class EvalTransform:
     def __init__(self, size: int = 224, crop_pct: float = 0.875,
                  interpolation: str = "bicubic",
-                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
+                 crop_mode: str = "center"):
         self.size, self.crop_pct = size, crop_pct
         self.interpolation, self.mean, self.std = interpolation, mean, std
+        self.crop_mode = crop_mode
 
     def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
-        img = resize_center_crop(img, self.size, self.crop_pct, self.interpolation)
+        img = resize_center_crop(img, self.size, self.crop_pct,
+                                 self.interpolation, crop_mode=self.crop_mode,
+                                 fill=self.mean)
         return to_float_chw_last(img, self.mean, self.std)

@@ -459,5 +459,9 @@ def map_faster_vit_3_224(**kwargs):
                      num_classes=kwargs.pop("num_classes", 1000), **kwargs)
 
 
+# Reference default for faster_vit_3_224 is crop_pct=1.0, crop_mode='center'
+# (map_fastervit.py:43-46); the README golden run passes --crop-pct 0.95 on
+# the CLI. map_ resolves the same 'faster_vit_3_224' cfg (:1057).
 for _n in ("faster_vit_3_224", "map_faster_vit_3_224"):
-    register_default_cfg(_n, {"crop_pct": 0.95, "interpolation": "bicubic"})
+    register_default_cfg(_n, {"crop_pct": 1.0, "crop_mode": "center",
+                              "interpolation": "bicubic"})

@@ -273,15 +273,36 @@ MAXVIT_REVERSE = [
 register_reverse_rules("*maxvit_*", MAXVIT_REVERSE)
 
 
+# tf-family architecture table (reference model_cfgs, map_maxvit.py:1483-1527):
+# name -> (embed_dim, depths, stem_width, head_hidden_size). All share
+# block_type 'M', stem_bias=True and the _tf_cfg() specifics baked into the
+# modules above (BN eps 1e-3 / SAME / LN eps 1e-5 / head_first=False /
+# rel_pos 'bias_tf'). The reference registers factory functions only for
+# tiny but every cfg here is buildable via its _create_maxxvit
+# (map_maxvit.py:1543-1559); exposing them all closes the cfg-zoo gap.
+_TF_CFGS = {
+    "tiny": ((64, 128, 256, 512), (2, 2, 5, 2), 64, 512),
+    "small": ((96, 192, 384, 768), (2, 2, 5, 2), 64, 768),
+    "base": ((96, 192, 384, 768), (2, 6, 14, 2), 64, 768),
+    "large": ((128, 256, 512, 1024), (2, 6, 14, 2), 128, 1024),
+    "xlarge": ((192, 384, 768, 1536), (2, 6, 14, 2), 192, 1536),
+}
+
+
+def _maxvit_tf(size: str, **kwargs):
+    embed_dim, depths, stem_width, head_hidden = _TF_CFGS[size]
+    kwargs.pop("drop", None)
+    kwargs.setdefault("drop_rate", 0.0)
+    return MaxxVit(embed_dim=embed_dim, depths=depths, stem_width=stem_width,
+                   head_hidden_size=head_hidden,
+                   drop_path_rate=kwargs.pop("drop_path_rate", 0.0),
+                   num_classes=kwargs.pop("num_classes", 1000), **kwargs)
+
+
 @register_model
 def maxvit_tiny_tf_224(**kwargs):
     """reference: map_maxvit.py:1792-1795 (cfg maxvit_tiny_tf :1483-1491)."""
-    kwargs.pop("drop", None)
-    kwargs.setdefault("drop_rate", 0.0)
-    return MaxxVit(embed_dim=(64, 128, 256, 512), depths=(2, 2, 5, 2), stem_width=64,
-                   head_hidden_size=512,
-                   drop_path_rate=kwargs.pop("drop_path_rate", 0.0),
-                   num_classes=kwargs.pop("num_classes", 1000), **kwargs)
+    return _maxvit_tf("tiny", **kwargs)
 
 
 @register_model
@@ -289,13 +310,54 @@ def maxvit_tiny_tf_384(**kwargs):
     """Same architecture at 384 input (partition = input/32 -> 12x12 windows;
     rel-pos tables sized accordingly). reference cfg: the vendored timm zoo,
     map_maxvit.py:1585-1588 ('maxvit_tiny_tf_384.in1k', crop_pct 1.0)."""
-    return maxvit_tiny_tf_224(**kwargs)
+    return _maxvit_tf("tiny", **kwargs)
 
 
 @register_model
 def maxvit_tiny_tf_512(**kwargs):
     """reference cfg: map_maxvit.py:1589-1592 ('maxvit_tiny_tf_512.in1k')."""
-    return maxvit_tiny_tf_224(**kwargs)
+    return _maxvit_tf("tiny", **kwargs)
+
+
+def _tf_data_cfg(size: str, res: int):
+    """Data config mirroring the reference default_cfgs rows for the tf
+    family (map_maxvit.py:1720-1784, first tag per model wins as in timm's
+    generate_default_cfgs): 224 `.in1k` rows override mean/std to ImageNet
+    defaults with crop_pct 0.95; 384/512 rows keep the maxxvit `_cfg` 0.5
+    mean/std but use crop_pct 1.0 + crop_mode='squash'; xlarge has no 224
+    in1k row — its default tag is `.in21k` (num_classes 21843, 0.5 norm)."""
+    if res == 224:
+        cfg = {"crop_pct": 0.95, "interpolation": "bicubic"}
+        if size == "xlarge":
+            cfg.update(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                       num_classes=21843)
+        else:
+            cfg.update(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
+        return cfg
+    return {"crop_pct": 1.0, "crop_mode": "squash", "interpolation": "bicubic",
+            "input_size": (res, res, 3),
+            "mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)}
+
+
+def _register_tf_size(size: str):
+    """Register {size} x {224,384,512} factories mirroring the reference's
+    default_cfgs rows (map_maxvit.py:1720-1784)."""
+    for res in (224, 384, 512):
+        name = f"maxvit_{size}_tf_{res}"
+
+        def factory(_size=size, **kwargs):
+            return _maxvit_tf(_size, **kwargs)
+
+        factory.__name__ = name
+        factory.__doc__ = (
+            f"reference cfg: map_maxvit.py:1492-1527 (maxvit_{size}_tf) + "
+            "default_cfgs :1729-1784; buildable there via _create_maxxvit.")
+        register_model(factory)
+        register_default_cfg(name, _tf_data_cfg(size, res))
+
+
+for _size in ("small", "base", "large", "xlarge"):
+    _register_tf_size(_size)
 
 
 @register_model
@@ -311,10 +373,11 @@ def map_maxvit_tiny_tf_224(**kwargs):
                    num_classes=kwargs.pop("num_classes", 1000), **kwargs)
 
 
+# map_maxvit_tiny_tf_224 resolves the same 'maxvit_tiny_tf_224' cfg as the
+# backbone (map_maxvit.py:1793-1795 passes the timm variant name); the golden
+# validate log confirms ImageNet mean/std + crop_pct 0.95 + crop_mode center
+# (MAP/README.MD maxvit detail block).
 for _n in ("maxvit_tiny_tf_224", "map_maxvit_tiny_tf_224"):
-    register_default_cfg(_n, {"crop_pct": 0.95, "interpolation": "bicubic",
-                              "mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)})
-for _n, _sz in (("maxvit_tiny_tf_384", 384), ("maxvit_tiny_tf_512", 512)):
-    register_default_cfg(_n, {"crop_pct": 1.0, "interpolation": "bicubic",
-                              "input_size": (_sz, _sz, 3),
-                              "mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)})
+    register_default_cfg(_n, _tf_data_cfg("tiny", 224))
+for _sz in (384, 512):
+    register_default_cfg(f"maxvit_tiny_tf_{_sz}", _tf_data_cfg("tiny", _sz))

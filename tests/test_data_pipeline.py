@@ -32,6 +32,64 @@ def test_eval_transform_crop_pct():
     assert tf(img).shape == (224, 224, 3)
 
 
+def test_eval_crop_modes():
+    """timm crop_mode semantics (transforms_factory): 'squash' resizes both
+    dims to floor(size/crop_pct) discarding aspect — at crop_pct 1.0 the
+    center crop is a no-op, so a gradient along the long axis must span the
+    full output. 'border' pads to square with the mean fill."""
+    from imagenet_models_tpu.data.transforms import resize_center_crop
+
+    # 100x400 horizontal gradient 0..255
+    arr = np.tile(np.linspace(0, 255, 400, dtype=np.uint8), (100, 1))
+    img = Image.fromarray(np.stack([arr] * 3, -1))
+
+    sq = resize_center_crop(img, 64, crop_pct=1.0, interpolation="bilinear",
+                            crop_mode="squash")
+    a = np.asarray(sq, np.float32)
+    assert sq.size == (64, 64)
+    assert a[:, 0].mean() < 16 and a[:, -1].mean() > 239  # full range kept
+
+    ce = resize_center_crop(img, 64, crop_pct=1.0, interpolation="bilinear",
+                            crop_mode="center")
+    c = np.asarray(ce, np.float32)
+    # center mode keeps aspect: the crop sees only the middle 64/256 of the
+    # gradient -> much narrower value range
+    assert c.max() - c.min() < 96
+
+    bo = resize_center_crop(img, 64, crop_pct=1.0, interpolation="bilinear",
+                            crop_mode="border", fill=(0.5, 0.5, 0.5))
+    b = np.asarray(bo, np.float32)
+    assert bo.size == (64, 64)
+    # top rows are padding at the mean fill (128)
+    assert abs(b[0].mean() - 128) < 2 and abs(b[-1].mean() - 128) < 2
+
+
+def test_tf_maxvit_fastervit_data_cfgs():
+    """Reference default_cfgs rows (map_maxvit.py:1720-1784,
+    map_fastervit.py:43-46): tf-224 in1k uses ImageNet mean/std + 0.95;
+    384/512 keep 0.5 norm with crop_pct 1.0 + squash; fastervit-3 defaults
+    to crop_pct 1.0 center."""
+    import imagenet_models_tpu.models  # noqa: F401
+    from imagenet_models_tpu.core.registry import default_cfg
+
+    for n in ("maxvit_tiny_tf_224", "map_maxvit_tiny_tf_224",
+              "maxvit_small_tf_224", "maxvit_base_tf_224",
+              "maxvit_large_tf_224"):
+        cfg = default_cfg(n)
+        assert cfg["mean"] == (0.485, 0.456, 0.406) and cfg["crop_pct"] == 0.95
+        assert cfg["crop_mode"] == "center"
+    for n in ("maxvit_tiny_tf_384", "maxvit_small_tf_512",
+              "maxvit_xlarge_tf_384"):
+        cfg = default_cfg(n)
+        assert cfg["mean"] == (0.5, 0.5, 0.5) and cfg["crop_pct"] == 1.0
+        assert cfg["crop_mode"] == "squash"
+        assert cfg["input_size"][0] == int(n.rsplit("_", 1)[1])
+    xl = default_cfg("maxvit_xlarge_tf_224")
+    assert xl["num_classes"] == 21843 and xl["mean"] == (0.5, 0.5, 0.5)
+    fv = default_cfg("map_faster_vit_3_224")
+    assert fv["crop_pct"] == 1.0 and fv["crop_mode"] == "center"
+
+
 def test_randaugment_all_ops_run():
     img = Image.fromarray(np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8))
     from imagenet_models_tpu.data.auto_augment import _RAND_INCREASING

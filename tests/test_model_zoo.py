@@ -60,6 +60,14 @@ def test_param_count_and_heads(name, expected, tol, heads, hw, cpu):
     # timm publishes 30.98M / 31.05M for these cfgs — matched here
     ("maxvit_tiny_tf_384", 384, 30.98),
     ("maxvit_tiny_tf_512", 512, 31.05),
+    # tf cfg zoo (reference model_cfgs, map_maxvit.py:1492-1527): goldens
+    # computed from the reference torch module via
+    # _create_maxxvit('maxvit_{size}_tf_224', ...) at 1000 classes —
+    # 68927956 / 119467708 / 211785560 / 474951952 params exactly.
+    ("maxvit_small_tf_224", 224, 68.928),
+    ("maxvit_base_tf_224", 224, 119.468),
+    ("maxvit_large_tf_224", 224, 211.786),
+    ("maxvit_xlarge_tf_224", 224, 474.952),
 ])
 def test_maxvit_large_input_variants(name, hw, expected, cpu):
     with jax.default_device(cpu):

@@ -384,7 +384,9 @@ def run(args, args_text: str):
     eval_batch = max(quantum, eval_batch // quantum * quantum)
     loader_eval = create_loader(dataset_eval, test_size, eval_batch,
                                 is_training=False, interpolation=interpolation,
-                                crop_pct=crop_pct, mean=mean, std=std,
+                                crop_pct=crop_pct,
+                                crop_mode=cfg.get("crop_mode", "center"),
+                                mean=mean, std=std,
                                 num_workers=args.workers, seed=args.seed)
 
     # init

@@ -144,8 +144,14 @@ def validate_once(args):
     img_size = args.input_size[1] if args.input_size else (args.img_size or cfg["input_size"][0])
     crop_pct = args.crop_pct or cfg["crop_pct"]
     interpolation = args.interpolation or cfg["interpolation"]
+    crop_mode = cfg.get("crop_mode", "center")
     mean = tuple(args.mean) if args.mean else cfg["mean"]
     std = tuple(args.std) if args.std else cfg["std"]
+    _logger.info(
+        "Data processing configuration for current model + dataset:\n"
+        "\tinput_size: (3, %d, %d)\n\tinterpolation: %s\n\tmean: %s\n"
+        "\tstd: %s\n\tcrop_pct: %s\n\tcrop_mode: %s",
+        img_size, img_size, interpolation, mean, std, crop_pct, crop_mode)
 
     dtype = jnp.bfloat16 if args.amp else None
     model_kwargs = {"distill_tokens": args.distill_tokens} if args.distill_tokens else {}
@@ -241,6 +247,7 @@ def validate_once(args):
     batch = max(n_dev, args.batch_size // n_dev * n_dev)
     loader = create_loader(dataset, img_size, batch, is_training=False,
                            interpolation=interpolation, crop_pct=crop_pct,
+                           crop_mode=crop_mode,
                            mean=mean, std=std, num_workers=args.workers)
     if args.max_batches:
         loader = _Truncate(loader, args.max_batches)
