@@ -243,3 +243,39 @@ def test_validate_cli_pretrained_local_resolver(tmp_path, monkeypatch):
     got = validate_cli.validate_once(
         validate_cli.parser.parse_args(common + ["--pretrained"]))
     assert got["top1"] == ref["top1"] and got["top5"] == ref["top5"]
+
+
+@pytest.mark.parametrize("size", ["small", "base"])
+def test_tf_zoo_structural_interchange(size, tmp_path):
+    """Converter coverage for the widened tf cfg zoo (map_maxvit.py
+    model_cfgs :1492-1527): the reference torch twin's state_dict must map
+    1:1 (strict) onto our same-named flax tree and export back with key
+    identity. Shape/name structural check only — forward parity for the
+    family is covered by the tiny interchange test; this guards the
+    size-dependent pieces (stem_width, head_hidden_size, depths)."""
+    name = f"maxvit_{size}_tf_224"
+    mod = timm_stub.import_ref("map_maxvit")
+    tmodel = mod._create_maxxvit(name, f"maxvit_{size}_tf")
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    model = create_model(name, num_classes=1000)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                             training=False), jax.random.PRNGKey(0))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+
+    from imagenet_models_tpu.ckpt.pretrained import translator_for
+    from imagenet_models_tpu.ckpt.torch_convert import convert_torch_state_dict
+
+    variables = convert_torch_state_dict(sd, zeros, translator_for(name),
+                                         strict=True)  # raises on any gap
+
+    out_pth = str(tmp_path / f"{name}.export.pth.tar")
+    export_pth_tar(variables, name, out_pth)
+    sd2 = torch.load(out_pth, map_location="cpu", weights_only=False)["state_dict"]
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd2.items()}, strict=False)
+    assert not unexpected, unexpected[:10]
+    missing_params = [k for k in missing if not k.endswith(
+        ("relative_position_index",))]
+    assert not missing_params, missing_params[:10]
