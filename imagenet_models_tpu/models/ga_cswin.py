@@ -93,6 +93,7 @@ class GA_CSWinTransformer(nn.Module):
     stage5: str = "CSWin"  # CSWin | bottleneck
     stage5_mlp_groups: int = 1
     ga_layer: bool = True
+    use_chk: bool = False  # per-block gradient checkpointing (ga_cswin.py:640-657)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -120,15 +121,22 @@ class GA_CSWinTransformer(nn.Module):
                         dtype=self.dtype, kernel_init=trunc_normal_init(), name="stem_conv0")(x)
             x = LayerNorm(dtype=self.dtype, name="stem_norm0")(x)
 
+        # use_chk ≡ torch.utils.checkpoint per stage block (ga_cswin.py:640-657):
+        # nn.remat recomputes the block in the backward, trading FLOPs for
+        # activation memory. Lifted transform — param names are unchanged
+        # (checkpoint maps stay valid); `training` must be static (argnum 2).
+        block_cls = (nn.remat(CSWinBlock, static_argnums=(2,))
+                     if self.use_chk and training else CSWinBlock)
+
         def run_stage(x, name, n_blocks, dim, nh, ss, mlp_ratio, dp_off, last=False,
                       tap_interval=0, max_taps=0):
             taps = []
             for i in range(n_blocks):
-                x = CSWinBlock(dim, nh, split_size=ss, mlp_ratio=mlp_ratio,
-                               qkv_bias=self.qkv_bias, drop=self.drop_rate,
-                               attn_drop=self.attn_drop_rate,
-                               drop_path=float(dpr[dp_off + i]), last_stage=last,
-                               dtype=self.dtype, name=f"{name}_{i}")(x, training=training)
+                x = block_cls(dim, nh, split_size=ss, mlp_ratio=mlp_ratio,
+                              qkv_bias=self.qkv_bias, drop=self.drop_rate,
+                              attn_drop=self.attn_drop_rate,
+                              drop_path=float(dpr[dp_off + i]), last_stage=last,
+                              dtype=self.dtype, name=f"{name}_{i}")(x, training)
                 if tap_interval and (i + 1) % tap_interval == 0 and len(taps) < max_taps:
                     taps.append(x)
             return x, taps

@@ -157,7 +157,9 @@ class MaxxVitBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, training: bool = False):
+        # `training` positional-friendly for nn.remat(static_argnums=(2,))
+        # (grad_checkpointing ≡ checkpoint_seq, map_maxvit.py:1040-1044).
         x = MbConvBlock(self.dim_out, stride=self.stride, drop_path=self.drop_path,
                         dtype=self.dtype, name="conv")(x, training=training)
         x = PartitionAttention(self.dim_out, "block", self.partition_size,
@@ -192,6 +194,7 @@ class MaxxVit(nn.Module):
     ca_dim: int = 384
     num_heads: int = 12
     split_norm: bool = False
+    grad_checkpointing: bool = False  # per-block remat (map_maxvit.py:1040-1044)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -210,11 +213,13 @@ class MaxxVit(nn.Module):
         features = [x]
         splits = np.split(np.linspace(0, self.drop_path_rate, sum(self.depths)),
                           np.cumsum(self.depths)[:-1])
+        block_cls = (nn.remat(MaxxVitBlock, static_argnums=(2,))
+                     if self.grad_checkpointing and training else MaxxVitBlock)
         for i, (depth, dim) in enumerate(zip(self.depths, self.embed_dim)):
             for j in range(depth):
-                x = MaxxVitBlock(dim, stride=2 if j == 0 else 1, partition_size=ps,
-                                 drop_path=float(splits[i][j]), dtype=self.dtype,
-                                 name=f"stages_{i}_blocks_{j}")(x, training=training)
+                x = block_cls(dim, stride=2 if j == 0 else 1, partition_size=ps,
+                              drop_path=float(splits[i][j]), dtype=self.dtype,
+                              name=f"stages_{i}_blocks_{j}")(x, training)
             features.append(x)
 
         if self.global_pool == "mmcap":

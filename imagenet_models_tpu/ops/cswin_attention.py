@@ -125,7 +125,10 @@ class CSWinBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, training: bool = False):
+        # `training` is positional-friendly so GA_CSWinTransformer can wrap
+        # this block in nn.remat(static_argnums=(2,)) for use_chk parity
+        # (ga_cswin.py:640-657 torch.utils.checkpoint per stage block).
         det = not training
         b, h, w, c = x.shape
         last = self.last_stage or (h == self.split_size)
