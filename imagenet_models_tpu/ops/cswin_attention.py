@@ -12,6 +12,7 @@ as cheap relayouts feeding batched MXU matmuls; softmax runs in fp32.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -45,6 +46,10 @@ class LePEAttention(nn.Module):
 
     idx semantics: -1 full window (last stage), 0 -> H_sp=H (vertical
     stripes of width split), 1 -> W_sp=W (horizontal stripes).
+
+    The depthwise LePE conv lives in `setup` (not compact) so CSWinBlock's
+    fused two-branch path can drive the window partition / LePE / attention
+    pieces separately while the param path stays `.../get_v/...`.
     """
 
     dim: int
@@ -54,36 +59,46 @@ class LePEAttention(nn.Module):
     attn_drop: float = 0.0
     dtype: Optional[Dtype] = None
 
-    @nn.compact
+    def setup(self):
+        self.get_v = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+                             feature_group_count=self.dim, dtype=self.dtype,
+                             kernel_init=trunc_normal_init())
+        self.attn_dropout = nn.Dropout(self.attn_drop)
+
+    def geometry(self, h: int, w: int) -> Tuple[int, int]:
+        if self.idx == -1:
+            return h, w
+        if self.idx == 0:
+            return h, self.split_size
+        return self.split_size, w
+
+    def to_heads(self, t):  # (B*, n, C) -> (B*, heads, n, d)
+        bn, n, _ = t.shape
+        nh = self.num_heads
+        return t.reshape(bn, n, nh, t.shape[-1] // nh).transpose(0, 2, 1, 3)
+
+    def lepe_windows(self, v):
+        """Per-window depthwise 3x3 on V -> (B*nWin, heads, n, d). Border
+        handling is per-window, which matters for stripe windows
+        (ga_cswin.py:95-108)."""
+        b, h, w, c = v.shape
+        hs, ws = self.geometry(h, w)
+        vw_sp = img2windows(v, hs, ws).reshape(-1, hs, ws, c)
+        lepe = self.get_v(vw_sp)
+        return self.to_heads(lepe.reshape(-1, hs * ws, c))
+
     def __call__(self, q, k, v, *, deterministic: bool = True):
         b, h, w, c = q.shape
-        if self.idx == -1:
-            hs, ws = h, w
-        elif self.idx == 0:
-            hs, ws = h, self.split_size
-        else:
-            hs, ws = self.split_size, w
+        hs, ws = self.geometry(h, w)
         nh = self.num_heads
         d = c // nh
         scale = d ** -0.5
-
-        def to_heads(t):  # (B*, n, C) -> (B*, heads, n, d)
-            bn, n, _ = t.shape
-            return t.reshape(bn, n, nh, d).transpose(0, 2, 1, 3)
+        to_heads = self.to_heads
 
         qw = to_heads(img2windows(q, hs, ws)) * scale
         kw = to_heads(img2windows(k, hs, ws))
-
-        # LePE: depthwise 3x3 on V *per window* (border handling is
-        # per-window, which matters for stripe windows; ga_cswin.py:95-108)
-        vw_sp = img2windows(v, hs, ws).reshape(-1, hs, ws, c)
-        lepe = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=c,
-                       dtype=self.dtype, kernel_init=trunc_normal_init(),
-                       name="get_v")(vw_sp)
-        lepe = to_heads(lepe.reshape(-1, hs * ws, c))
-        vw = to_heads(vw_sp.reshape(-1, hs * ws, c))
-
-        import os
+        lepe = self.lepe_windows(v)
+        vw = to_heads(img2windows(v, hs, ws))
 
         # Default is the XLA batched path: measured A/B on v5e (ga_cswin_tiny
         # 224 eval, scripts/bench_cswin.py) gives XLA 1589 img/s vs 1137-1172
@@ -96,7 +111,7 @@ class LePEAttention(nn.Module):
             # prob-dropout needs the materialized attention matrix
             attn = jnp.einsum("bhnd,bhmd->bhnm", qw, kw)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            attn = self.attn_dropout(attn, deterministic=deterministic)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw) + lepe
         else:
             from imagenet_models_tpu.ops.flash_attention import window_attention
@@ -107,6 +122,21 @@ class LePEAttention(nn.Module):
             out = out.reshape(bw, nh_, n_, d_) + lepe
         out = out.transpose(0, 2, 1, 3).reshape(-1, hs * ws, c)
         return windows2img(out, hs, ws, h, w)
+
+
+# Fused two-branch stripe attention (opt-in, measured SLOWER): when the
+# feature map is square, the H-stripe and V-stripe windows have identical
+# token counts and window counts, so both half-channel branches can run as
+# ONE batched attention (2x the batch dim per einsum) — attention is
+# permutation-equivariant over window tokens, so each branch keeps its own
+# token order and is reassembled in its own orientation. Numerically
+# identical to the two-call path up to fp reduction order
+# (tests/test_cswin_fused.py). A/B on v5e (ga_cswin_tiny 224 eval B=256,
+# scripts/bench_cswin.py, 2026-08-18, two runs each): fused 1418/1419 vs
+# unfused 1589/1590 img/s — inside one jit program XLA already overlaps the
+# two independent branches, and the batch-axis concats add pure HBM
+# relayout traffic. Default OFF; IMTPU_CSWIN_FUSED=1 enables the probe.
+_CSWIN_FUSED = os.environ.get("IMTPU_CSWIN_FUSED", "0") == "1"
 
 
 class CSWinBlock(nn.Module):
@@ -123,6 +153,42 @@ class CSWinBlock(nn.Module):
     last_stage: bool = False
     mlp_groups: int = 1
     dtype: Optional[Dtype] = None
+
+    @staticmethod
+    def _fused_branches(a0m: "LePEAttention", a1m: "LePEAttention",
+                        q, k, v, half: int):
+        """Both stripe orientations as ONE batched attention (see
+        _CSWIN_FUSED note). Requires h == w so the two orientations share
+        window count and tokens-per-window; each branch keeps its own
+        token order (attention is permutation-equivariant) and is
+        reassembled in its own orientation."""
+        b, h, w, _ = q.shape
+        g0, g1 = a0m.geometry(h, w), a1m.geometry(h, w)
+
+        def windows(m, geom, t):  # (B*nw, heads, n, d)
+            return m.to_heads(img2windows(t, *geom))
+
+        d = half // a0m.num_heads
+        scale = d ** -0.5
+        qw = jnp.concatenate([windows(a0m, g0, q[..., :half]),
+                              windows(a1m, g1, q[..., half:])], axis=0) * scale
+        kw = jnp.concatenate([windows(a0m, g0, k[..., :half]),
+                              windows(a1m, g1, k[..., half:])], axis=0)
+        vw = jnp.concatenate([windows(a0m, g0, v[..., :half]),
+                              windows(a1m, g1, v[..., half:])], axis=0)
+        lepe = jnp.concatenate([a0m.lepe_windows(v[..., :half]),
+                                a1m.lepe_windows(v[..., half:])], axis=0)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qw, kw)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw) + lepe
+
+        bw = out.shape[0] // 2
+        n = out.shape[2]
+        flat = out.transpose(0, 2, 1, 3).reshape(2 * bw, n, half)
+        a0 = windows2img(flat[:bw], *g0, h, w)
+        a1 = windows2img(flat[bw:], *g1, h, w)
+        return jnp.concatenate([a0, a1], axis=-1)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -144,15 +210,23 @@ class CSWinBlock(nn.Module):
                 q, k, v, deterministic=det)
         else:
             half = c // 2
-            a0 = LePEAttention(self.dim // 2, self.num_heads // 2, idx=0,
-                               split_size=self.split_size, attn_drop=self.attn_drop,
-                               dtype=self.dtype, name="attns_0")(
-                q[..., :half], k[..., :half], v[..., :half], deterministic=det)
-            a1 = LePEAttention(self.dim // 2, self.num_heads // 2, idx=1,
-                               split_size=self.split_size, attn_drop=self.attn_drop,
-                               dtype=self.dtype, name="attns_1")(
-                q[..., half:], k[..., half:], v[..., half:], deterministic=det)
-            att = jnp.concatenate([a0, a1], axis=-1)
+            a0m = LePEAttention(self.dim // 2, self.num_heads // 2, idx=0,
+                                split_size=self.split_size, attn_drop=self.attn_drop,
+                                dtype=self.dtype, name="attns_0")
+            a1m = LePEAttention(self.dim // 2, self.num_heads // 2, idx=1,
+                                split_size=self.split_size, attn_drop=self.attn_drop,
+                                dtype=self.dtype, name="attns_1")
+            fuse = (_CSWIN_FUSED and h == w
+                    and (det or self.attn_drop == 0.0)
+                    and os.environ.get("IMTPU_FLASH_ATTN", "0") != "1")
+            if fuse:
+                att = self._fused_branches(a0m, a1m, q, k, v, half)
+            else:
+                a0 = a0m(q[..., :half], k[..., :half], v[..., :half],
+                         deterministic=det)
+                a1 = a1m(q[..., half:], k[..., half:], v[..., half:],
+                         deterministic=det)
+                att = jnp.concatenate([a0, a1], axis=-1)
 
         att = Dense(self.dim, dtype=self.dtype, name="proj")(att)
         dp = DropPath(self.drop_path)
