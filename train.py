@@ -415,33 +415,13 @@ def run(args, args_text: str):
             variables = restored
         _logger.info("loaded initial checkpoint %s", args.initial_checkpoint)
     if args.finetuning_checkpoint:
-        # fine-tune surgery (reference: MAP/train.py:459-481): either remap a
-        # 21k-class fc to 1k via the class map, or drop the head fc entirely
-        import json as _json
+        from imagenet_models_tpu.ckpt.finetune import apply_finetune_checkpoint
 
-        from imagenet_models_tpu.ckpt.pretrained import translator_for
-        from imagenet_models_tpu.ckpt.torch_convert import (
-            convert_torch_state_dict, load_torch_checkpoint)
-
-        sd = load_torch_checkpoint(args.finetuning_checkpoint)
-        fc_keys = [k for k in sd if k.endswith(("head.fc.weight", "head.fc.bias",
-                                                "head.fc2.weight", "head.fc2.bias"))]
-        if args.in21k_to_in1k:
-            with open(args.in21k_1k_map) as f:
-                class_map = _json.load(f)
-            for k in fc_keys:
-                old = sd[k]
-                new = np.zeros((1000,) + old.shape[1:], old.dtype)
-                new[class_map["in1k_idx"]] = old[class_map["in21k_idx"]]
-                new[850] = old.mean(0)  # class 850 missing in the map
-                sd[k] = new
-        else:
-            for k in fc_keys:
-                sd.pop(k)
-        variables = convert_torch_state_dict(sd, variables, translator_for(args.model),
-                                             strict=False)
+        variables, n_fc = apply_finetune_checkpoint(
+            variables, args.model, args.finetuning_checkpoint,
+            in21k_to_in1k=args.in21k_to_in1k, map_path=args.in21k_1k_map)
         _logger.info("fine-tuning from %s (%d fc keys %s)", args.finetuning_checkpoint,
-                     len(fc_keys), "remapped" if args.in21k_to_in1k else "dropped")
+                     n_fc, "remapped" if args.in21k_to_in1k else "dropped")
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     _logger.info("Model %s created, param count: %d", args.model, n_params)
 
