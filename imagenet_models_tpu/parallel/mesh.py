@@ -48,3 +48,24 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def zero1_spec(shape, n_devices: int) -> P:
+    """PartitionSpec sharding the largest axis divisible by the mesh size.
+
+    Used for ZeRO-1-style optimizer/EMA state sharding over the data axis:
+    leaves whose every axis is indivisible (scalars, odd head tables) stay
+    replicated — correctness never depends on a leaf being sharded, sharding
+    is purely an HBM saving. The reference has no analog (DDP replicates
+    optimizer state per GPU); this is the TPU-native extension: annotate the
+    sharding, let XLA insert the reduce-scatter/all-gather pair.
+    """
+    best = None
+    for i, s in enumerate(shape):
+        if s >= n_devices and s % n_devices == 0 and (best is None or s > shape[best]):
+            best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = DATA_AXIS
+    return P(*spec)

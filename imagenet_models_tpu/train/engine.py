@@ -34,6 +34,31 @@ class NaNWatchdog(Exception):
     pass
 
 
+class Preempted(Exception):
+    """Raised at a step boundary after SIGTERM (TPU maintenance/preemption)."""
+
+
+_PREEMPT = {"signaled": False}
+
+
+def install_preemption_handler():
+    """Preemption-safe training (SURVEY §5.3): TPU maintenance events deliver
+    SIGTERM; convert it into a recovery checkpoint + clean exit at the next
+    step boundary so `--resume` restarts losslessly. The reference's only
+    story here is the operator restarting from the last recovery checkpoint
+    (GA/train.py:810-812); this closes the window since the last one."""
+    import signal
+
+    def _handler(signum, frame):
+        _PREEMPT["signaled"] = True
+        _logger.warning("SIGTERM: saving recovery checkpoint at the next step boundary")
+
+    try:
+        signal.signal(signal.SIGTERM, _handler)
+    except ValueError:  # not the main thread (e.g. under pytest plugins)
+        pass
+
+
 def save_image_grid(images: np.ndarray, path: str, cols: int = 8):
     """Debug dump of an input batch as one tiled image (reference:
     torchvision.utils.save_image with normalize=True at GA/train.py:803-808).
@@ -119,6 +144,13 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
         if saver is not None and recovery_interval and (
                 batch_idx == last_idx or (batch_idx + 1) % recovery_interval == 0):
             saver.save_recovery(state, epoch, batch_idx)
+
+        if _PREEMPT["signaled"]:
+            if saver is not None:
+                saver.save_recovery(state, epoch, batch_idx)
+                _logger.warning("preemption recovery checkpoint saved "
+                                "(epoch %d batch %d)", epoch, batch_idx)
+            raise Preempted(f"epoch {epoch} batch {batch_idx}")
 
         end = time.time()
 

@@ -29,7 +29,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from imagenet_models_tpu.parallel.mesh import DATA_AXIS
+from imagenet_models_tpu.parallel.mesh import DATA_AXIS, zero1_spec
 from imagenet_models_tpu.train.losses import multi_head_loss
 
 
@@ -56,6 +56,49 @@ def create_train_state(variables, tx: optax.GradientTransformation,
     )
 
 
+def zero1_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """Sharding tree for ZeRO-1 placement: params/batch_stats replicated,
+    optimizer state and EMA shadows sharded over the data axis.
+
+    The reference's DDP keeps a full optimizer-state replica per GPU; here
+    the m/v moments (2x params in fp32 for LAMB/AdamW) and the EMA copy live
+    sharded in HBM and XLA inserts the gather/scatter collectives around the
+    (cheap, elementwise) optimizer update — the jit-and-annotate recipe, no
+    manual collectives."""
+    rep = NamedSharding(mesh, P())
+    n = int(np_size(mesh))
+
+    def z(x):
+        return NamedSharding(mesh, zero1_spec(jnp.shape(x), n))
+
+    def ztree(t):
+        return None if t is None else jax.tree.map(z, t)
+
+    return TrainState(
+        step=rep,
+        params=jax.tree.map(lambda _: rep, state.params),
+        batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+        opt_state=jax.tree.map(z, state.opt_state),
+        ema_params=ztree(state.ema_params),
+        ema_batch_stats=ztree(state.ema_batch_stats),
+    )
+
+
+def np_size(mesh: Mesh) -> int:
+    return mesh.devices.size
+
+
+def place_state(state: TrainState, mesh: Mesh, zero1: bool = False) -> TrainState:
+    """Place a TrainState on the mesh: fully replicated (DDP semantics) or
+    with ZeRO-1 optimizer/EMA sharding."""
+    if not zero1 or np_size(mesh) == 1:
+        from imagenet_models_tpu.parallel.mesh import replicate
+
+        return replicate(state, mesh)
+    sh = zero1_state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -65,12 +108,21 @@ def make_train_step(
     grad_accum: int = 1,
     mesh: Optional[Mesh] = None,
     token_distillation: bool = True,
+    zero1: bool = False,
 ):
     """Build the jitted SPMD train step.
 
     Returns step(state, images, targets, rng) -> (state, metrics). images are
     the *global* batch (grad_accum * global_microbatch, H, W, C), sharded on
     axis 0 over the mesh.
+
+    zero1=True switches from the shard_map/pmean formulation to a global jit
+    whose in/out shardings keep optimizer+EMA state ZeRO-1-sharded over the
+    data axis (see zero1_state_shardings); the state must have been placed
+    with place_state(..., zero1=True). Gradient math is identical (global
+    batch mean == pmean of per-shard means); BatchNorm stats become exact
+    global-batch stats (vs pmean of per-shard stats), a strictly-stronger
+    SyncBN.
     """
 
     def loss_fn(params, batch_stats, images, targets, rng):
@@ -89,7 +141,7 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def local_step(state: TrainState, images, targets, rng):
+    def local_step(state: TrainState, images, targets, rng, reduce=None):
         if grad_accum == 1:
             # no microbatching: skip the scan (and its zero-init + add pass
             # over the full gradient tree)
@@ -116,11 +168,13 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g / grad_accum, gsum)
             loss = losses.mean()
 
-        # cross-replica reductions (the DDP allreduce analog)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        if batch_stats:
-            batch_stats = jax.lax.pmean(batch_stats, DATA_AXIS)
+        # cross-replica reductions (the DDP allreduce analog); in the zero1
+        # global-jit formulation the batch is already global so reduce=None
+        if reduce is not None:
+            grads = reduce(grads)
+            loss = reduce(loss)
+            if batch_stats:
+                batch_stats = reduce(batch_stats)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -144,9 +198,33 @@ def make_train_step(
 
         mesh = data_mesh(jax.devices()[:1])
 
+    if zero1:
+        # global-jit formulation: the step body sees the global batch; the
+        # in/out sharding annotations (taken from the concrete input state at
+        # first call, so a place_state(zero1=True) placement is preserved)
+        # make XLA slice the optimizer update per device and all-gather the
+        # fresh params — the ZeRO-1 dance, with zero manual collectives.
+        cache = {}
+
+        def step(state, images, targets, rng):
+            if "fn" not in cache:
+                st_sh = jax.tree.map(lambda x: x.sharding, state)
+                batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+                rep = NamedSharding(mesh, P())
+                cache["fn"] = jax.jit(
+                    lambda st, im, tg, r: local_step(st, im, tg, r, reduce=None),
+                    in_shardings=(st_sh, batch_sh, batch_sh, rep),
+                    out_shardings=(st_sh, rep),
+                    donate_argnums=(0,),
+                )
+            return cache["fn"](state, images, targets, rng)
+
+        return step
+
+    pmean = functools.partial(jax.lax.pmean, axis_name=DATA_AXIS)
     sharded = shard_map(
         lambda st, im, tg, r: local_step(st, im, tg, jax.random.fold_in(
-            r, jax.lax.axis_index(DATA_AXIS))),
+            r, jax.lax.axis_index(DATA_AXIS)), reduce=pmean),
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
@@ -191,7 +269,10 @@ def make_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False,
 
     if mesh is None:
         return jax.jit(step)
-    return jax.jit(step, in_shardings=(NamedSharding(mesh, P()),
+    # state sharding is inferred from the argument (None): a replicated state
+    # passes through untouched, a zero1-sharded state (EMA shadow sharded over
+    # 'data') gets its gathers inserted by XLA inside the compiled step
+    return jax.jit(step, in_shardings=(None,
                                        NamedSharding(mesh, P(DATA_AXIS)),
                                        NamedSharding(mesh, P(DATA_AXIS))),
                    out_shardings=NamedSharding(mesh, P(DATA_AXIS)))

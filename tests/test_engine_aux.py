@@ -241,3 +241,47 @@ def test_set_schedule_count_repoints_lr_only():
     seen.clear()
     _updates, _ = tx.update({"w": jnp.ones((4, 4))}, st, params)
     assert 1234 in seen  # the applied LR was evaluated at the repointed step
+
+
+def test_preemption_saves_recovery_and_raises():
+    """SIGTERM → recovery checkpoint at the next step boundary → Preempted
+    (preemption-safe training, engine.install_preemption_handler)."""
+    from imagenet_models_tpu.train import engine
+
+    mesh = data_mesh(jax.devices("cpu")[:1])
+    calls = {"n": 0}
+    saved = []
+
+    class _Saver:
+        def save_recovery(self, state, epoch, batch_idx):
+            saved.append((epoch, batch_idx))
+
+    def step_fn(state, images, targets, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:  # signal lands mid-step
+            engine._PREEMPT["signaled"] = True
+        return state, {"loss": jnp.float32(1.0), "grad_norm": jnp.float32(0.0)}
+
+    try:
+        with pytest.raises(engine.Preempted):
+            train_one_epoch(0, {}, step_fn, _FakeLoader(), mesh,
+                            jax.random.PRNGKey(0), log_interval=1, saver=_Saver())
+        assert saved and saved[-1] == (0, 1)  # boundary right after batch 1
+        assert calls["n"] == 2  # batch 2 never dispatched
+    finally:
+        engine._PREEMPT["signaled"] = False
+
+
+def test_preemption_handler_installs_and_fires():
+    import os
+    import signal
+
+    from imagenet_models_tpu.train import engine
+
+    engine.install_preemption_handler()
+    try:
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert engine._PREEMPT["signaled"]
+    finally:
+        engine._PREEMPT["signaled"] = False
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)

@@ -187,6 +187,10 @@ parser.add_argument("--sync-bn", action="store_true", default=False,
 parser.add_argument("--dist-bn", type=str, default="reduce",
                     help="accepted no-op: batch stats are pmean-synced every step "
                          "(strictly stronger than per-epoch reduce/broadcast)")
+parser.add_argument("--zero1", action="store_true", default=False,
+                    help="shard optimizer + EMA state over the data axis "
+                         "(ZeRO-1; TPU-native extension, no reference analog — "
+                         "DDP replicates optimizer state per GPU)")
 parser.add_argument("--early-stop", type=int, default=None)
 parser.add_argument("--eval-epoch", type=int, default=1)
 parser.add_argument("--dis_eval", "--dis-eval", action="store_true", default=False)
@@ -251,17 +255,20 @@ def run(args, args_text: str):
     from imagenet_models_tpu.data.dataset import create_dataset
     from imagenet_models_tpu.data.loader import create_loader
     from imagenet_models_tpu.data.mixup import Mixup
-    from imagenet_models_tpu.parallel.mesh import data_mesh, replicate
-    from imagenet_models_tpu.train.engine import NaNWatchdog, train_one_epoch, validate
+    from imagenet_models_tpu.parallel.mesh import data_mesh
+    from imagenet_models_tpu.train.engine import (
+        NaNWatchdog, Preempted, install_preemption_handler, train_one_epoch, validate)
     from imagenet_models_tpu.train.losses import create_loss_fn
     from imagenet_models_tpu.train.optim import create_optimizer
     from imagenet_models_tpu.train.scheduler import create_scheduler
-    from imagenet_models_tpu.train.state import create_train_state, make_eval_step, make_train_step
+    from imagenet_models_tpu.train.state import (
+        create_train_state, make_eval_step, make_train_step, place_state)
     from imagenet_models_tpu.utils.meters import setup_default_logging, update_summary
     from imagenet_models_tpu.core.setup import jit_init, setup_jax
 
     setup_default_logging()
     setup_jax()
+    install_preemption_handler()
     devices = jax.devices()
     if args.n_devices:
         devices = devices[: args.n_devices]
@@ -469,7 +476,7 @@ def run(args, args_text: str):
         start_epoch = args.start_epoch
         state = state.replace(opt_state=set_schedule_count(
             state.opt_state, start_epoch * steps_per_epoch))
-    state = replicate(state, mesh)
+    state = place_state(state, mesh, zero1=args.zero1)
 
     base_loss = create_loss_fn(bce_loss=args.bce_loss, smoothing=args.smoothing,
                                bce_target_thresh=args.bce_target_thresh,
@@ -478,7 +485,8 @@ def run(args, args_text: str):
     dec_lam = args.GA_lam if args.GA_lam is not None else args.dec_lam
     step_fn = make_train_step(model, tx, base_loss, dec_lam=dec_lam,
                               ema_decay=ema_decay, grad_accum=grad_accum, mesh=mesh,
-                              token_distillation=bool(args.token_distillation))
+                              token_distillation=bool(args.token_distillation),
+                              zero1=args.zero1)
     eval_step = make_eval_step(model, mesh=mesh, tta=args.tta)
     eval_step_ema = (make_eval_step(model, mesh=mesh, use_ema=True, tta=args.tta)
                      if ema_decay else None)
@@ -552,6 +560,10 @@ def run(args, args_text: str):
                 return
     except NaNWatchdog as e:
         _logger.error("NaN watchdog fired (%s); exiting for restart via --resume", e)
+        return
+    except Preempted as e:
+        _logger.warning("preempted (%s); recovery checkpoint saved — restart "
+                        "with --resume %s", e, output_dir)
         return
     except KeyboardInterrupt:
         pass

@@ -45,6 +45,8 @@ def get_multi_args_parser():
                    help="override the recipe's dataset path (or 'synthetic')")
     p.add_argument("--epochs", type=int, default=None, help="override recipe epochs")
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
+    p.add_argument("--zero1", action="store_true", default=False,
+                   help="shard optimizer/EMA state over the data axis (see train.py)")
     p.add_argument("-b", "--batch-size", type=int, default=None, help="override recipe batch")
     p.add_argument("-tb", "--total-batch-size", type=int, default=None)
     # mmcap hyper-parameters (fixed; reference train_with_script.py:38-42)
@@ -82,6 +84,8 @@ def main():
             if multi_args.total_batch_size:
                 args.total_batch_size = multi_args.total_batch_size
             args.max_steps_per_epoch = multi_args.max_steps_per_epoch
+            if multi_args.zero1:
+                args.zero1 = True
             run(args, args_text)
             gc.collect()
 
