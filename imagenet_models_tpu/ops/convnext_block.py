@@ -120,8 +120,37 @@ def _kernel_gelu_grad(pre):
     return _gelu_grad_noexp(pre)
 
 
+# Experiment knob: express the depthwise 7x7 as 49 shifted multiply-adds in
+# plain row-major NHWC ops instead of lax.conv. Rationale: the step profile
+# charges ~9ms/step to layout copies between XLA's batch-minor conv layouts
+# and the row-major Pallas LN+MLP operands; with no conv op in the graph XLA
+# has no reason to leave row-major, so those copies should vanish — IF the
+# stencil fuses well enough that the 49 halo reads stay in VMEM.
+# MEASURED SLOWER (2026-08-18, v5e B=128 full train step via
+# scripts/bench_train.py): 688 vs 1215 img/s. Autodiff of the stencil turns
+# the weight-grad into 49 full-tensor reductions and the dx into 49 shifted
+# adds that XLA does not re-fuse into one halo-reusing loop — the saved
+# layout copies are dwarfed. Fourth dw-conv formulation measured and lost
+# to XLA's conv lowering (see ops/dw_conv.py for the other three).
+_DW_SHIFTADD = os.environ.get("IMTPU_DW_SHIFTADD", "0") != "0"
+
+
+def _dw_conv7_shiftadd(x, dw_w, dw_b):
+    """dw7x7 as an unrolled 49-tap stencil (pad + shifted slices), fp32 acc."""
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    wk = dw_w.astype(x.dtype)  # (7, 7, 1, C) HWIO, groups=C
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for ky in range(7):
+        for kx in range(7):
+            acc += (xp[:, ky:ky + h, kx:kx + w, :] * wk[ky, kx, 0]).astype(jnp.float32)
+    return acc.astype(x.dtype) + dw_b.astype(x.dtype)
+
+
 def dw_conv7(x, dw_w, dw_b):
     """Depthwise 7x7 (XLA lowering, fast on TPU)."""
+    if _DW_SHIFTADD:
+        return _dw_conv7_shiftadd(x, dw_w, dw_b)
     return jax.lax.conv_general_dilated(
         x, dw_w.astype(x.dtype), (1, 1), [(3, 3), (3, 3)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -415,7 +444,11 @@ _REMAT = os.environ.get("IMTPU_BLOCK_REMAT", "0") != "0"
 # 56x56 grid is memory-bound) while ~9ms/step goes to layout copies between
 # XLA's conv layouts and the kernel's row-major operands — XLA may fuse the
 # small stages better than the kernel runs them. 0 (default) = kernel
-# everywhere.
+# everywhere. MEASURED (2026-08-18, v5e B=128 full train step,
+# scripts/bench_train.py): kernel everywhere 1215 img/s, MIN_C=192 (stage-0
+# to XLA) 1158, MIN_C=384 (stages 0+1 to XLA) 1184 — the fused kernel beats
+# XLA's unfused LN+MLP even at the memory-bound small-channel stages; the
+# default stays 0.
 _PALLAS_MIN_C = int(os.environ.get("IMTPU_PALLAS_MIN_C", "0"))
 
 
