@@ -39,7 +39,23 @@ class DataLoader:
                  is_training: bool = False, mixup_fn=None, num_workers: int = 4,
                  seed: int = 42, repeats: int = 0, drop_last: Optional[bool] = None,
                  use_native: Optional[bool] = None, aug_splits: int = 0,
-                 resplit: bool = False):
+                 resplit: bool = False, num_shards: int = 1, shard_id: int = 0):
+        # Multi-host DP (the reference's DistributedSampler analog,
+        # GA/train.py:657-658): batch_size is the GLOBAL batch; every process
+        # walks the identical epoch index stream and takes its contiguous
+        # block of each batch (block-contiguous to match shard_batch's
+        # process-contiguous device order), yielding batch_size//num_shards
+        # rows. num_shards=1 (default) is bit-identical to the single-host
+        # path: same indices, same per-sample aug seeds, same mixup stream.
+        num_shards = max(int(num_shards), 1)
+        if batch_size % num_shards:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"num_shards {num_shards}")
+        if not 0 <= shard_id < num_shards:
+            raise ValueError(f"shard_id {shard_id} out of range [0,{num_shards})")
+        self.num_shards, self.shard_id = num_shards, shard_id
+        self.global_batch_size = batch_size
+        batch_size = batch_size // num_shards  # local rows yielded per batch
         self.dataset, self.batch_size, self.transform = dataset, batch_size, transform
         self.is_training, self.mixup_fn = is_training, mixup_fn
         self.num_workers = max(1, num_workers)
@@ -79,7 +95,8 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+        g = self.global_batch_size
+        return n // g if self.drop_last else math.ceil(n / g)
 
     def _load_one(self, index: int, aug_seed: int) -> Tuple[np.ndarray, int]:
         img, label = self.dataset.load(int(index))
@@ -130,7 +147,10 @@ class DataLoader:
         return flat, np.repeat(np.asarray(labels, np.int64), self.aug_splits)
 
     def _make_batch(self, bi: int, binds) -> Tuple[np.ndarray, np.ndarray]:
-        seeds = [(self.seed, self.epoch, bi, pos).__hash__() & 0x7FFFFFFF
+        # per-sample aug seeds keyed by GLOBAL batch position so shards draw
+        # disjoint aug streams (pos0=0 on a single host: unchanged)
+        pos0 = self.shard_id * self.batch_size
+        seeds = [(self.seed, self.epoch, bi, pos0 + pos).__hash__() & 0x7FFFFFFF
                  for pos in range(len(binds))]
         if self.native:
             return self._load_batch_native(binds, seeds)
@@ -147,8 +167,12 @@ class DataLoader:
         idx = epoch_indices(len(self.dataset), self.epoch, self.seed,
                             shuffle=self.is_training, repeats=self.repeats if self.is_training else 0)
         nb = len(self)
-        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
-        mix_rng = np.random.default_rng(self.seed * 1000003 + self.epoch)
+        g, lb, s0 = self.global_batch_size, self.batch_size, self.shard_id
+        batches = [idx[i * g:(i + 1) * g][s0 * lb:(s0 + 1) * lb] for i in range(nb)]
+        # mixup pairs within the process-local batch (== timm's per-process
+        # prefetcher mixup under DDP); disjoint stream per shard
+        mix_rng = np.random.default_rng(self.seed * 1000003 + self.epoch
+                                        + 1000003651 * s0)
 
         def finish(images, targets):
             if self.is_training and self.mixup_fn is not None and self.mixup_enabled:
@@ -202,7 +226,8 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                   recount: int = 1, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
                   mixup_fn=None, num_workers: int = 4, seed: int = 42,
                   repeats: int = 0, aug_splits: int = 0,
-                  resplit: bool = False, no_aug: bool = False) -> DataLoader:
+                  resplit: bool = False, no_aug: bool = False,
+                  num_shards: int = 1, shard_id: int = 0) -> DataLoader:
     from imagenet_models_tpu.data.transforms import (
         EvalTransform,
         IMAGENET_DEFAULT_MEAN,
@@ -230,4 +255,5 @@ def create_loader(dataset, input_size: int, batch_size: int, is_training: bool,
                            crop_mode=crop_mode)
     return DataLoader(dataset, batch_size, tf, is_training=is_training,
                       mixup_fn=mixup_fn, num_workers=num_workers, seed=seed,
-                      repeats=repeats, aug_splits=aug_splits, resplit=resplit)
+                      repeats=repeats, aug_splits=aug_splits, resplit=resplit,
+                      num_shards=num_shards, shard_id=shard_id)

@@ -40,8 +40,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place host arrays on the mesh, batch-dim sharded over 'data'."""
+    """Place host arrays on the mesh, batch-dim sharded over 'data'.
+
+    Multi-host: each process passes its PROCESS-LOCAL rows (the loader's
+    num_shards/shard_id block of the global batch) and the global array is
+    assembled with `jax.make_array_from_process_local_data` — no host
+    gather, each host feeds only its own ICI-attached chips (the
+    DistributedSampler + DDP input contract, GA/train.py:567,657).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -157,11 +157,24 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
     return state, rng, OrderedDict([("loss", losses.avg)])
 
 
+def _fetch_local_rows(x):
+    """np.asarray for single-process runs; under multi-host the per-sample
+    outputs are sharded over 'data' and only this process's rows are
+    addressable — concatenate its shards in global-index order (they
+    round-trip the loader's process-local block)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def validate(state, eval_step, loader, mesh, log_interval: int = 50,
              log_suffix: str = "", tta: int = 0):
     """Top-1/top-5 over the loader; multi-head logits are averaged inside the
     eval step (reference: MAP/validate.py:275-279). tta>1: the step returns
-    one flag per group of tta samples (MAP/train.py:1009-1012)."""
+    one flag per group of tta samples (MAP/train.py:1009-1012). Multi-host:
+    each process meters its own shard, then sum/count are all-gathered at the
+    end (the reference's distributed meter reduce, MAP/train.py:762-763)."""
     tta = max(int(tta), 1)
     batch_time = AverageMeter()
     top1 = AverageMeter()
@@ -179,7 +192,7 @@ def validate(state, eval_step, loader, mesh, log_interval: int = 50,
             targets = np.concatenate([targets, np.full((pad,), -1, targets.dtype)])
         images, targets = shard_batch((images, targets), mesh)
         _, c1, c5 = eval_step(state, images, targets)
-        c1, c5 = np.asarray(c1), np.asarray(c5)
+        c1, c5 = _fetch_local_rows(c1), _fetch_local_rows(c5)
         n_eff = n // tta  # groups fully inside the real samples (pad is at the end)
         if n_eff == 0:
             continue  # tail smaller than one tta group; reference unfold drops it
@@ -194,4 +207,11 @@ def validate(state, eval_step, loader, mesh, log_interval: int = 50,
                          log_suffix, batch_idx, len(loader), batch_time.val,
                          batch_time.avg, top1.val, top1.avg, top5.val, top5.avg)
 
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        local = np.array([top1.sum, top5.sum, float(top1.count)], np.float64)
+        tot = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+        return OrderedDict([("top1", tot[0] / max(tot[2], 1.0)),
+                            ("top5", tot[1] / max(tot[2], 1.0))])
     return OrderedDict([("top1", top1.avg), ("top5", top5.avg)])

@@ -1,0 +1,95 @@
+"""Subprocess body for tests/test_multihost.py: one process of an
+n-process CPU 'multi-host' run (2 virtual devices per process).
+
+Runs one DP train step + one eval pass through engine.validate on a
+deterministic global batch, then prints one JSON line with the results.
+Invoked as: python _mh_child.py <pid> <nprocs> <port>
+
+Import is side-effect-free: tests/test_multihost.py imports build() and
+_OneBatchLoader to construct the single-process reference.
+"""
+
+import json
+import os
+import sys
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+
+    from imagenet_models_tpu.models.convnext import ConvNeXt
+
+    model = ConvNeXt(depths=(1, 1, 1, 1), dims=(8, 8, 16, 16), num_classes=11,
+                     global_pool="mmcap", last_dim=16, n_groups=2, n_tokens=2,
+                     gram_group=2, bp_dim=16, ca_dim=16, num_heads=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           training=False)
+    return model, variables
+
+
+class _OneBatchLoader:
+    """Minimal loader protocol for engine.validate: yields this process's
+    local rows once."""
+
+    def __init__(self, images, targets):
+        self.images, self.targets = images, targets
+        self.batch_size = images.shape[0]
+
+    def __len__(self):
+        return 1
+
+    def __iter__(self):
+        yield self.images, self.targets
+
+
+def main(pid: int, nprocs: int, port: str):
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["IMTPU_PLATFORM"] = "cpu"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nprocs,
+                               process_id=pid)
+
+    import numpy as np
+
+    from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+    from imagenet_models_tpu.train.engine import validate
+    from imagenet_models_tpu.train.losses import create_loss_fn
+    from imagenet_models_tpu.train.optim import create_optimizer
+    from imagenet_models_tpu.train.state import (
+        create_train_state, make_eval_step, make_train_step)
+
+    assert jax.process_count() == nprocs
+    mesh = data_mesh()  # all global devices, process-contiguous
+    model, variables = build()
+
+    rng = np.random.default_rng(0)
+    gb = 4 * 2 * nprocs  # 4/dev * 2 dev/proc * nprocs
+    g_images = rng.standard_normal((gb, 32, 32, 3)).astype(np.float32)
+    g_targets = rng.integers(0, 11, (gb,)).astype(np.int64)
+    lb = gb // nprocs
+    l_images = g_images[pid * lb:(pid + 1) * lb]
+    l_targets = g_targets[pid * lb:(pid + 1) * lb]
+
+    tx = create_optimizer("lamb", learning_rate=1e-3, weight_decay=0.05)
+    state = replicate(create_train_state(variables, tx, ema_decay=0.999), mesh)
+    loss_fn = create_loss_fn(bce_loss=True, smoothing=0.1)
+    step = make_train_step(model, tx, loss_fn, dec_lam=-0.8, ema_decay=0.999,
+                           grad_accum=1, mesh=mesh)
+    images, targets = shard_batch((l_images, l_targets), mesh)
+    state, metrics = step(state, images, targets, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+
+    eval_step = make_eval_step(model, mesh=mesh)
+    res = validate(state, eval_step, _OneBatchLoader(l_images, l_targets), mesh)
+    print(json.dumps({"pid": pid, "loss": loss,
+                      "top1": float(res["top1"]), "top5": float(res["top5"])}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])

@@ -1,0 +1,132 @@
+"""Multi-host data parallelism: 2-process CPU 'pod' equivalence.
+
+The reference trains multi-node via torchrun + NCCL DDP + DistributedSampler
+(GA/train.py:374-381,567,657-658). Here multi-host is jax.distributed +
+process-sharded loaders + make_array_from_process_local_data assembly
+(parallel/mesh.py, data/loader.py num_shards/shard_id). These tests prove:
+
+1. loader sharding: two shards of the same loader concatenate to exactly the
+   single-host batch (indices, aug seeds, order), train and eval transforms;
+2. a real 2-process run (each with 2 virtual CPU devices) computes the SAME
+   train-step loss and globally-reduced eval metrics as a single-process
+   4-device run on the identical global batch.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_dataset(n=32, img=32, classes=11):
+    from imagenet_models_tpu.data.dataset import create_dataset
+
+    return create_dataset(f"synthetic:{n}", "train", num_classes=classes,
+                          image_size=img)
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_loader_shards_concat_to_global_batch(training):
+    from imagenet_models_tpu.data.loader import DataLoader
+    from imagenet_models_tpu.data.transforms import EvalTransform, TrainTransform
+
+    ds = _make_dataset()
+    if training:
+        tf = TrainTransform(32, interpolation="bilinear", hflip=0.5,
+                            auto_augment="rand-m9-mstd0.5", reprob=0.25)
+    else:
+        tf = EvalTransform(32, crop_pct=0.9, interpolation="bilinear")
+
+    def batches(num_shards, shard_id):
+        ld = DataLoader(ds, 8, tf, is_training=training, num_workers=1,
+                        seed=7, num_shards=num_shards, shard_id=shard_id)
+        ld.epoch = 3
+        return list(ld)
+
+    whole = batches(1, 0)
+    s0, s1 = batches(2, 0), batches(2, 1)
+    assert len(whole) == len(s0) == len(s1)
+    for (wi, wt), (ai, at), (bi, bt) in zip(whole, s0, s1):
+        np.testing.assert_array_equal(wi, np.concatenate([ai, bi]))
+        np.testing.assert_array_equal(wt, np.concatenate([at, bt]))
+
+
+def test_loader_shard_divisibility_enforced():
+    from imagenet_models_tpu.data.loader import DataLoader
+    from imagenet_models_tpu.data.transforms import EvalTransform
+
+    ds = _make_dataset()
+    tf = EvalTransform(32)
+    with pytest.raises(ValueError):
+        DataLoader(ds, 9, tf, num_shards=2)
+    with pytest.raises(ValueError):
+        DataLoader(ds, 8, tf, num_shards=2, shard_id=2)
+
+
+def _single_process_reference():
+    """Same model/batch/step as tests/_mh_child.py on a 4-device local mesh."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import _mh_child as c
+
+    mesh_devices = jax.devices("cpu")[:4]
+    from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+    from imagenet_models_tpu.train.engine import validate
+    from imagenet_models_tpu.train.losses import create_loss_fn
+    from imagenet_models_tpu.train.optim import create_optimizer
+    from imagenet_models_tpu.train.state import (
+        create_train_state, make_eval_step, make_train_step)
+
+    model, variables = c.build()
+    rng = np.random.default_rng(0)
+    gb = 16
+    g_images = rng.standard_normal((gb, 32, 32, 3)).astype(np.float32)
+    g_targets = rng.integers(0, 11, (gb,)).astype(np.int64)
+
+    mesh = data_mesh(mesh_devices)
+    tx = create_optimizer("lamb", learning_rate=1e-3, weight_decay=0.05)
+    state = replicate(create_train_state(variables, tx, ema_decay=0.999), mesh)
+    loss_fn = create_loss_fn(bce_loss=True, smoothing=0.1)
+    step = make_train_step(model, tx, loss_fn, dec_lam=-0.8, ema_decay=0.999,
+                           grad_accum=1, mesh=mesh)
+    images, targets = shard_batch((g_images, g_targets), mesh)
+    state, metrics = step(state, images, targets, jax.random.PRNGKey(1))
+
+    eval_step = make_eval_step(model, mesh=mesh)
+    res = validate(state, eval_step, c._OneBatchLoader(g_images, g_targets), mesh)
+    return float(metrics["loss"]), float(res["top1"]), float(res["top5"])
+
+
+def test_two_process_run_matches_single_process():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = os.path.join(REPO, "tests", "_mh_child.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, child, str(pid), "2", str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env, cwd=REPO)
+             for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    ref_loss, ref_top1, ref_top5 = _single_process_reference()
+    for o in outs:
+        # same global batch, same params, same collectives => same numbers
+        np.testing.assert_allclose(o["loss"], ref_loss, rtol=2e-5,
+                                   err_msg=str(o))
+        np.testing.assert_allclose(o["top1"], ref_top1, rtol=1e-6)
+        np.testing.assert_allclose(o["top5"], ref_top5, rtol=1e-6)
+    assert outs[0]["loss"] == outs[1]["loss"]

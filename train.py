@@ -225,6 +225,16 @@ parser.add_argument("--prog-input-milestones", type=float, nargs="+", default=No
 parser.add_argument("--head-dropout", type=float, default=None)
 parser.add_argument("--n-devices", type=int, default=None,
                     help="limit the mesh to the first N local devices")
+# multi-host DP: one process per host, same command everywhere (the
+# torchrun/init_process_group analog, GA/train.py:374-381). On TPU pods the
+# three flags can be omitted (jax.distributed auto-detects the slice).
+parser.add_argument("--dist-coordinator", type=str, default="",
+                    help="multi-host rendezvous address host:port; enables "
+                         "jax.distributed.initialize")
+parser.add_argument("--dist-num-processes", type=int, default=None,
+                    help="total process count for --dist-coordinator")
+parser.add_argument("--dist-process-id", type=int, default=None,
+                    help="this process's rank for --dist-coordinator")
 parser.add_argument("--max-steps-per-epoch", type=int, default=None,
                     help="truncate epochs (smoke runs)")
 parser.add_argument("--profile-steps", type=int, default=0,
@@ -268,13 +278,23 @@ def run(args, args_text: str):
 
     setup_default_logging()
     setup_jax()
+    if args.dist_coordinator:
+        from imagenet_models_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
+    n_proc, proc_id = jax.process_count(), jax.process_index()
     install_preemption_handler()
     devices = jax.devices()
     if args.n_devices:
+        if n_proc > 1:
+            raise ValueError("--n-devices cannot be combined with multi-host "
+                             "runs (the mesh must cover every process's chips)")
         devices = devices[: args.n_devices]
     mesh = data_mesh(devices)
     n_dev = len(devices)
-    _logger.info("Training SPMD over %d %s device(s)", n_dev, devices[0].platform)
+    _logger.info("Training SPMD over %d %s device(s), %d process(es)",
+                 n_dev, devices[0].platform, n_proc)
 
     cfg = default_cfg(args.model)
     num_classes = args.num_classes or cfg["num_classes"]
@@ -385,7 +405,8 @@ def run(args, args_text: str):
         reprob=args.reprob, remode=args.remode, recount=args.recount,
         scale=tuple(args.scale), ratio=tuple(args.ratio), mixup_fn=mixup_fn,
         num_workers=args.workers, seed=args.seed, repeats=args.aug_repeats,
-        aug_splits=num_aug_splits, resplit=args.resplit, no_aug=args.no_aug)
+        aug_splits=num_aug_splits, resplit=args.resplit, no_aug=args.no_aug,
+        num_shards=n_proc, shard_id=proc_id)
     eval_batch = args.validation_batch_size or per_dev * n_dev
     quantum = n_dev * max(int(args.tta), 1)  # tta groups must tile the device shard
     eval_batch = max(quantum, eval_batch // quantum * quantum)
@@ -394,7 +415,8 @@ def run(args, args_text: str):
                                 crop_pct=crop_pct,
                                 crop_mode=cfg.get("crop_mode", "center"),
                                 mean=mean, std=std,
-                                num_workers=args.workers, seed=args.seed)
+                                num_workers=args.workers, seed=args.seed,
+                                num_shards=n_proc, shard_id=proc_id)
 
     # init
     rng = jax.random.PRNGKey(args.seed)
@@ -500,7 +522,7 @@ def run(args, args_text: str):
     _logger.info("output dir: %s", output_dir)
 
     log_wandb = False
-    if args.log_wandb:
+    if args.log_wandb and proc_id == 0:  # master-only, MAP/train.py:724-738
         from imagenet_models_tpu.utils.meters import init_wandb
 
         log_wandb = init_wandb(f"{args.project_name}_{os.path.basename(args.data_dir).lower()}",
@@ -544,10 +566,11 @@ def run(args, args_text: str):
                     eval_metrics = {**ema_metrics,
                                     "raw_top1": eval_metrics["top1"],
                                     "raw_top5": eval_metrics["top5"]}
-            update_summary(epoch, train_metrics, eval_metrics,
-                           os.path.join(output_dir, "summary.csv"),
-                           write_header=best_metric is None,
-                           lr=float(lr_fn(epoch)), log_wandb=log_wandb)
+            if proc_id == 0:  # master-only summary/wandb (MAP/train.py:724-738)
+                update_summary(epoch, train_metrics, eval_metrics,
+                               os.path.join(output_dir, "summary.csv"),
+                               write_header=best_metric is None,
+                               lr=float(lr_fn(epoch)), log_wandb=log_wandb)
             if do_eval:
                 best_metric, best_epoch = saver.save_checkpoint(
                     state, epoch, metric=eval_metrics[args.eval_metric])
