@@ -21,8 +21,14 @@ DATA_AXIS = "data"
 
 def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """Multi-host init (DCN rendezvous), analogous to init_process_group."""
-    if coordinator is not None:
+    """Multi-host init (DCN rendezvous), analogous to init_process_group.
+
+    coordinator='auto' (or '' with env already set) uses jax.distributed's
+    own detection — on TPU pods the slice metadata provides everything, so
+    no flags are needed (the torchrun env-var analog)."""
+    if coordinator == "auto":
+        jax.distributed.initialize()
+    elif coordinator:
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
 

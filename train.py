@@ -229,8 +229,9 @@ parser.add_argument("--n-devices", type=int, default=None,
 # torchrun/init_process_group analog, GA/train.py:374-381). On TPU pods the
 # three flags can be omitted (jax.distributed auto-detects the slice).
 parser.add_argument("--dist-coordinator", type=str, default="",
-                    help="multi-host rendezvous address host:port; enables "
-                         "jax.distributed.initialize")
+                    help="multi-host rendezvous address host:port, or 'auto' "
+                         "to let jax.distributed detect the TPU-pod slice; "
+                         "enables jax.distributed.initialize")
 parser.add_argument("--dist-num-processes", type=int, default=None,
                     help="total process count for --dist-coordinator")
 parser.add_argument("--dist-process-id", type=int, default=None,
