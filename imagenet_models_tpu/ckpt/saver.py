@@ -23,7 +23,25 @@ _logger = logging.getLogger("imagenet_models_tpu")
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Fetch a state tree to host numpy. Multi-host: leaves that are not
+    fully addressable (ZeRO-1-sharded optimizer/EMA state) are all-gathered
+    first — a collective, so _to_host must run on EVERY process even though
+    only process 0 writes the files afterwards."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(get, tree)
+
+
+def _is_writer() -> bool:
+    """File writes are master-only under multi-host (the checkpoint dir is
+    assumed shared — GCS/NFS — as with the reference's rank-0 torch.save,
+    GA/train.py:649-653; single-process is always the writer)."""
+    return jax.process_index() == 0
 
 
 class CheckpointSaver:
@@ -36,7 +54,7 @@ class CheckpointSaver:
         self.best_metric: Optional[float] = None
         self.best_epoch: Optional[int] = None
         self._ckpt = ocp.PyTreeCheckpointer()
-        if args_text:
+        if args_text and _is_writer():
             with open(os.path.join(self.dir, "args.yaml"), "w") as f:
                 f.write(args_text)
 
@@ -44,32 +62,50 @@ class CheckpointSaver:
         return os.path.join(self.dir, name)
 
     def _save(self, state, epoch: int, name: str, metric: Optional[float] = None):
+        # _to_host and _ckpt.save are BOTH collective under multi-host
+        # (allgather of sharded leaves; orbax's internal save barrier), so
+        # every process runs them — orbax writes from the primary only.
+        # Plain filesystem prep/meta stays rank-0.
+        host = _to_host(state)
         path = self._path(name)
-        if os.path.exists(path):
+        multi = jax.process_count() > 1
+        if _is_writer() and os.path.exists(path):
             shutil.rmtree(path)
-        self._ckpt.save(path, _to_host(state))
-        meta = {"epoch": epoch, "metric": metric}
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            # the stale dir must be gone everywhere before save's own
+            # existence check runs on any process
+            multihost_utils.sync_global_devices(f"imtpu:saver:{name}:{epoch}")
+        self._ckpt.save(path, host)
+        if _is_writer():
+            meta = {"epoch": epoch,
+                    "metric": None if metric is None else float(metric)}
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
 
     def save_checkpoint(self, state, epoch: int, metric: Optional[float] = None
                         ) -> Tuple[Optional[float], Optional[int]]:
         self._save(state, epoch, f"checkpoint-{epoch}", metric)
         self._save(state, epoch, "last", metric)
-        # prune history
-        ckpts = sorted(glob.glob(self._path("checkpoint-*")),
-                       key=lambda p: int(p.rsplit("-", 1)[1]))
-        while len(ckpts) > self.max_history:
-            shutil.rmtree(ckpts.pop(0))
+        if _is_writer():
+            # prune history
+            ckpts = sorted(glob.glob(self._path("checkpoint-*")),
+                           key=lambda p: int(p.rsplit("-", 1)[1]))
+            while len(ckpts) > self.max_history:
+                shutil.rmtree(ckpts.pop(0))
         if metric is not None:
+            # metric is globally reduced, so best-tracking stays consistent
+            # on every process; only the writer touches files
             better = (self.best_metric is None or
                       (metric < self.best_metric if self.decreasing else metric > self.best_metric))
             if better:
                 self.best_metric, self.best_epoch = metric, epoch
-                best = self._path("model_best")
-                if os.path.exists(best):
-                    shutil.rmtree(best)
-                shutil.copytree(self._path(f"checkpoint-{epoch}"), best)
+                if _is_writer():
+                    best = self._path("model_best")
+                    if os.path.exists(best):
+                        shutil.rmtree(best)
+                    shutil.copytree(self._path(f"checkpoint-{epoch}"), best)
         return self.best_metric, self.best_epoch
 
     def save_recovery(self, state, epoch: int, batch_idx: int):

@@ -212,6 +212,6 @@ def validate(state, eval_step, loader, mesh, log_interval: int = 50,
 
         local = np.array([top1.sum, top5.sum, float(top1.count)], np.float64)
         tot = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
-        return OrderedDict([("top1", tot[0] / max(tot[2], 1.0)),
-                            ("top5", tot[1] / max(tot[2], 1.0))])
+        return OrderedDict([("top1", float(tot[0] / max(tot[2], 1.0))),
+                            ("top5", float(tot[1] / max(tot[2], 1.0)))])
     return OrderedDict([("top1", top1.avg), ("top5", top5.avg)])

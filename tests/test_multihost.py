@@ -72,6 +72,20 @@ def test_loader_shard_divisibility_enforced():
         DataLoader(ds, 8, tf, num_shards=2, shard_id=2)
 
 
+def test_init_distributed_auto_uses_slice_detection(monkeypatch):
+    from imagenet_models_tpu.parallel import mesh
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    mesh.init_distributed("auto")
+    assert calls == [((), {})]  # bare init: TPU-pod slice metadata
+    mesh.init_distributed("10.0.0.1:1234", 4, 2)
+    assert calls[1] == (("10.0.0.1:1234", 4, 2), {})
+    mesh.init_distributed("")  # disabled
+    assert len(calls) == 2
+
+
 def _single_process_reference():
     """Same model/batch/step as tests/_mh_child.py on a 4-device local mesh."""
     sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -103,6 +117,37 @@ def _single_process_reference():
     eval_step = make_eval_step(model, mesh=mesh)
     res = validate(state, eval_step, c._OneBatchLoader(g_images, g_targets), mesh)
     return float(metrics["loss"]), float(res["top1"]), float(res["top5"])
+
+
+def test_two_process_train_cli(tmp_path):
+    """The full train.py CLI across 2 processes: --dist-coordinator wiring,
+    run-name broadcast, process-sharded loaders, globally-reduced eval, and
+    the collective orbax save into ONE shared checkpoint tree."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["IMTPU_PLATFORM"] = "cpu"
+    args = [sys.executable, os.path.join(REPO, "train.py"), "synthetic:32",
+            "--model", "mobilenet_v1", "--input-size", "3", "64", "64",
+            "-b", "2", "--epochs", "1", "--cooldown-epochs", "0",
+            "--max-steps-per-epoch", "2", "--bce-loss", "-j", "1",
+            "--log-interval", "1", "--output", str(tmp_path),
+            "--dist-coordinator", f"127.0.0.1:{port}",
+            "--dist-num-processes", "2"]
+    procs = [subprocess.Popen(args + ["--dist-process-id", str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=REPO)
+             for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        assert "Best metric" in out
+    runs = [d for d in os.listdir(tmp_path) if (tmp_path / d).is_dir()]
+    assert len(runs) == 1, runs  # broadcast run_name: one shared output dir
+    run = tmp_path / runs[0]
+    assert (run / "last").is_dir() and (run / "summary.csv").exists()
 
 
 def test_two_process_run_matches_single_process():

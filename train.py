@@ -517,6 +517,17 @@ def run(args, args_text: str):
     # output dir + saver
     run_name = args.experiment or "-".join([
         datetime.now().strftime("%Y%m%d-%H%M%S"), args.model, str(input_size)])
+    if n_proc > 1:
+        # every process must use process-0's run name: orbax saves are
+        # collective over one shared checkpoint path, and datetime.now()
+        # can straddle a second boundary across hosts
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(128, np.uint8)
+        enc = run_name.encode()[:128]
+        buf[:len(enc)] = np.frombuffer(enc, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        run_name = bytes(buf[buf != 0]).decode()
     output_dir = os.path.join(args.output or "./output/train", run_name)
     saver = CheckpointSaver(output_dir, max_history=args.checkpoint_hist,
                             decreasing=args.eval_metric == "loss", args_text=args_text)
