@@ -54,6 +54,7 @@ def main(pid: int, nprocs: int, port: str):
     jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nprocs,
                                process_id=pid)
 
+    import jax.numpy as jnp
     import numpy as np
 
     from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
@@ -76,6 +77,9 @@ def main(pid: int, nprocs: int, port: str):
     l_targets = g_targets[pid * lb:(pid + 1) * lb]
 
     tx = create_optimizer("lamb", learning_rate=1e-3, weight_decay=0.05)
+    # the DP step donates its state, whose replicated leaves can alias the
+    # first CPU shard of `variables` — copy BEFORE stepping for zero1 later
+    fresh = jax.tree.map(jnp.copy, variables)
     state = replicate(create_train_state(variables, tx, ema_decay=0.999), mesh)
     loss_fn = create_loss_fn(bce_loss=True, smoothing=0.1)
     step = make_train_step(model, tx, loss_fn, dec_lam=-0.8, ema_decay=0.999,
@@ -86,7 +90,30 @@ def main(pid: int, nprocs: int, port: str):
 
     eval_step = make_eval_step(model, mesh=mesh)
     res = validate(state, eval_step, _OneBatchLoader(l_images, l_targets), mesh)
-    print(json.dumps({"pid": pid, "loss": loss,
+
+    # ZeRO-1 sharded state through the multi-host saver: opt_state/EMA leaves
+    # are not fully addressable, so _to_host must allgather (collective) and
+    # only process 0 writes; the checkpoint on disk must round-trip.
+    zdir = os.environ.get("IMTPU_MH_CKPT_DIR", "")
+    zsig = 0.0
+    if zdir:
+        from imagenet_models_tpu.ckpt.saver import CheckpointSaver
+        from imagenet_models_tpu.train.state import place_state
+
+        zstate = place_state(create_train_state(fresh, tx, ema_decay=0.999),
+                             mesh, zero1=True)
+        zstep = make_train_step(model, tx, loss_fn, dec_lam=-0.8,
+                                ema_decay=0.999, grad_accum=1, mesh=mesh,
+                                zero1=True)
+        zstate, zm = zstep(zstate, images, targets, jax.random.PRNGKey(1))
+        assert any(not x.is_fully_addressable
+                   for x in jax.tree.leaves(zstate.opt_state)), \
+            "zero1 state unexpectedly replicated; allgather path not exercised"
+        saver = CheckpointSaver(zdir, max_history=2)
+        saver.save_checkpoint(zstate, epoch=0, metric=float(zm["loss"]))
+        zsig = float(zm["loss"])
+
+    print(json.dumps({"pid": pid, "loss": loss, "zloss": zsig,
                       "top1": float(res["top1"]), "top5": float(res["top5"])}),
           flush=True)
 

@@ -150,13 +150,15 @@ def test_two_process_train_cli(tmp_path):
     assert (run / "last").is_dir() and (run / "summary.csv").exists()
 
 
-def test_two_process_run_matches_single_process():
+def test_two_process_run_matches_single_process(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    ckpt_dir = str(tmp_path / "zckpt")
     child = os.path.join(REPO, "tests", "_mh_child.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["IMTPU_MH_CKPT_DIR"] = ckpt_dir
     procs = [subprocess.Popen([sys.executable, child, str(pid), "2", str(port)],
                               stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                               text=True, env=env, cwd=REPO)
@@ -166,6 +168,21 @@ def test_two_process_run_matches_single_process():
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"child failed:\n{out}\n{err}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # ZeRO-1 sharded state was allgathered + saved collectively: the on-disk
+    # checkpoint restores into a bare variables target in THIS process
+    assert outs[0]["zloss"] == outs[1]["zloss"] != 0.0
+    from imagenet_models_tpu.ckpt.saver import resume_checkpoint
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import _mh_child as c
+
+    _, variables = c.build()
+    restored, epoch = resume_checkpoint(os.path.join(ckpt_dir, "last"),
+                                        dict(variables))
+    assert epoch == 0
+    chex = jax.tree.leaves(restored["params"])
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in chex)
 
     ref_loss, ref_top1, ref_top5 = _single_process_reference()
     for o in outs:
