@@ -147,6 +147,13 @@ class DataLoader:
         return flat, np.repeat(np.asarray(labels, np.int64), self.aug_splits)
 
     def _make_batch(self, bi: int, binds) -> Tuple[np.ndarray, np.ndarray]:
+        if len(binds) == 0:
+            # multi-host tail batch too short to reach this shard's slice:
+            # yield an empty batch (the eval engine pads + masks it) instead
+            # of letting np.stack([]) kill the worker thread
+            size = int(getattr(self.transform, "size", 0))
+            shape = (0, size, size, 3) if size else (0,)
+            return np.zeros(shape, np.float32), np.zeros((0,), np.int64)
         # per-sample aug seeds keyed by GLOBAL batch position so shards draw
         # disjoint aug streams (pos0=0 on a single host: unchanged)
         pos0 = self.shard_id * self.batch_size

@@ -269,3 +269,23 @@ def test_synthetic_cls_epoch_varying_noise():
                     is_training=True, num_workers=1)
     dl.set_epoch(2)
     assert tr._epoch == 2
+
+
+def test_sharded_loader_empty_tail_shard():
+    """Multi-host eval: a tail batch too short to reach the last shard must
+    yield an empty (0, H, W, C) batch (the engine pads + masks), not crash
+    or hang the worker thread."""
+    ds = SyntheticDataset(length=10, num_classes=5, image_size=32)
+    tf = EvalTransform(32, crop_pct=1.0)
+    # global batch 8, 2 shards x 4 local rows: batch 1 has only 2 rows left,
+    # all of which land in shard 0 -> shard 1 sees an empty slice
+    l0 = DataLoader(ds, 8, tf, is_training=False, num_workers=2,
+                    num_shards=2, shard_id=0)
+    l1 = DataLoader(ds, 8, tf, is_training=False, num_workers=2,
+                    num_shards=2, shard_id=1)
+    b0 = [b for b in l0]
+    b1 = [b for b in l1]
+    assert len(b0) == len(b1) == 2
+    assert b0[1][0].shape == (2, 32, 32, 3)
+    assert b1[1][0].shape == (0, 32, 32, 3)
+    assert b1[1][1].shape == (0,)

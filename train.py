@@ -545,6 +545,7 @@ def run(args, args_text: str):
     # num_epochs = get_cycle_length() + cooldown_epochs)
     num_epochs = args.epochs + (args.cooldown_epochs if args.sched == "cosine" else 0)
     best_metric, best_epoch = None, None
+    wrote_header = False
     try:
         for epoch in range(start_epoch, num_epochs):
             loader_train.set_epoch(epoch)
@@ -581,8 +582,9 @@ def run(args, args_text: str):
             if proc_id == 0:  # master-only summary/wandb (MAP/train.py:724-738)
                 update_summary(epoch, train_metrics, eval_metrics,
                                os.path.join(output_dir, "summary.csv"),
-                               write_header=best_metric is None,
+                               write_header=not wrote_header,
                                lr=float(lr_fn(epoch)), log_wandb=log_wandb)
+                wrote_header = True
             if do_eval:
                 best_metric, best_epoch = saver.save_checkpoint(
                     state, epoch, metric=eval_metrics[args.eval_metric])
