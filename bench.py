@@ -11,7 +11,6 @@ Prints ONE JSON line:
 """
 
 import json
-import sys
 import time
 
 BASELINE_3090_EVAL = 1665.0  # MAP/README.MD §2: ConvNeXt-T+MAP img/s on RTX 3090

@@ -9,7 +9,7 @@ requirement, BASELINE.md).
 from __future__ import annotations
 
 import fnmatch
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 from imagenet_models_tpu.ckpt.torch_convert import (
     RuleTranslator,

@@ -184,7 +184,6 @@ def export_pth_tar(variables: Dict[str, Any], model_name: str, out_path: str,
     elif use_ema:
         raise ValueError("use_ema needs a TrainState-shaped checkpoint")
 
-    from imagenet_models_tpu.ckpt.pretrained import translator_for
     from imagenet_models_tpu.ckpt.torch_convert import export_torch_state_dict
 
     # invert the forward rules by round-trip: build reverse map from the

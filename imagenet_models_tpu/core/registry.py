@@ -8,7 +8,6 @@ Mirrors the public surface of the reference registry usage
 
 from __future__ import annotations
 
-import dataclasses
 import fnmatch
 from typing import Any, Callable, Dict, List, Optional
 

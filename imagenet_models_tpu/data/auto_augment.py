@@ -11,8 +11,7 @@ bilinear/bicubic resample for geometric ops.
 from __future__ import annotations
 
 import random
-import re
-from typing import Callable, List, Tuple
+from typing import Callable, List
 
 from PIL import Image, ImageEnhance, ImageOps
 

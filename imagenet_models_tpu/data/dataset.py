@@ -8,7 +8,7 @@ the TPU analog of the reference's DataLoader workers + CUDA prefetcher).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from PIL import Image

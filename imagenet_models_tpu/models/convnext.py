@@ -10,9 +10,8 @@ dwconv7x7 -> LayerNorm -> Dense x2 with no data movement.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

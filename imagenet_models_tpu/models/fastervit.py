@@ -15,7 +15,7 @@ here the bias MLPs run inside the jitted graph on constant coordinate tables
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from imagenet_models_tpu.nn.heads import gram_triu_normalize
 from imagenet_models_tpu.nn.layers import (
     BatchNorm,
     Dense,

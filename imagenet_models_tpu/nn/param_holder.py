@@ -5,7 +5,6 @@ torch checkpoint mapping)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

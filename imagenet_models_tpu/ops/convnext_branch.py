@@ -34,7 +34,6 @@ the caller).
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from imagenet_models_tpu.nn.layers import Dense, LayerNorm
+from imagenet_models_tpu.nn.layers import Dense
 
 Dtype = Any
 

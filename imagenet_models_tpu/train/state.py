@@ -20,7 +20,7 @@ MAP/train.py:842-977) maps onto a single jitted SPMD step:
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ from __future__ import annotations
 import csv
 import logging
 import os
-import time
 from collections import OrderedDict
 from typing import Dict, Optional
 

@@ -21,6 +21,7 @@ ZOO = {
     "map_resnet50": (256, 2127.0),
     "map_pit_s": (256, 2254.0),
     "map_convnext_tiny": (256, 1665.0),
+    "map_convnext_small": (256, 1111.0),
     "map_maxvit_tiny_tf_224": (128, 907.0),
     "map_faster_vit_3_224": (128, 970.0),
     "ga_convnext_tiny_688": (256, None),

@@ -15,9 +15,7 @@ Differences from the reference, by design:
 
 import argparse
 import logging
-import math
 import os
-import time
 from datetime import datetime
 
 import yaml

@@ -7,7 +7,6 @@ batch-halving retry (:360-378), result JSON/CSV output (:411-443)."""
 
 import argparse
 import csv
-import fnmatch
 import glob
 import json
 import logging
