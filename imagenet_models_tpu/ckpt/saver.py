@@ -87,7 +87,14 @@ class CheckpointSaver:
     def save_checkpoint(self, state, epoch: int, metric: Optional[float] = None
                         ) -> Tuple[Optional[float], Optional[int]]:
         self._save(state, epoch, f"checkpoint-{epoch}", metric)
-        self._save(state, epoch, "last", metric)
+        if _is_writer():
+            # 'last' is a file copy of checkpoint-N, not a second serialize —
+            # the _save path costs a full cross-host allgather of the
+            # (ZeRO-1-sharded) optimizer/EMA tree plus an orbax write
+            last = self._path("last")
+            if os.path.exists(last):
+                shutil.rmtree(last)
+            shutil.copytree(self._path(f"checkpoint-{epoch}"), last)
         if _is_writer():
             # prune history
             ckpts = sorted(glob.glob(self._path("checkpoint-*")),
@@ -108,8 +115,14 @@ class CheckpointSaver:
                     shutil.copytree(self._path(f"checkpoint-{epoch}"), best)
         return self.best_metric, self.best_epoch
 
-    def save_recovery(self, state, epoch: int, batch_idx: int):
-        self._save(state, epoch, "recovery", None)
+    def save_recovery(self, state, epoch: int, batch_idx: int,
+                      epoch_complete: bool = False):
+        """Mid-epoch snapshots record `epoch - 1` so a `--resume` restart
+        (start_epoch = saved + 1) re-runs the interrupted epoch from its
+        start — no batch is ever silently skipped; the re-trained prefix is
+        the conservative cost. Only a snapshot taken at the epoch's last
+        batch records the epoch itself."""
+        self._save(state, epoch if epoch_complete else epoch - 1, "recovery", None)
 
     def restore(self, name: str, target) -> Tuple[Any, int]:
         path = self._path(name)

@@ -39,6 +39,15 @@ from imagenet_models_tpu.nn.layers import (
 Dtype = Any
 
 
+def average_head_logits(out) -> jnp.ndarray:
+    """The multi-head eval contract: mean of per-branch logits in fp32
+    (reference: /root/reference/MAP/validate.py:275-279). Single source of
+    truth shared by the eval step, the serving export, and its selftest."""
+    if isinstance(out, (tuple, list)):
+        return sum(o.astype(jnp.float32) for o in out) / len(out)
+    return out.astype(jnp.float32)
+
+
 def gram_triu_normalize(x: jnp.ndarray, scale: float, interleave: int = 1) -> jnp.ndarray:
     """Fused Gram-matrix -> upper-triangle -> L2-normalize.
 

@@ -24,6 +24,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from imagenet_models_tpu.nn.heads import average_head_logits
+
 SIDECAR_SUFFIX = ".json"
 
 
@@ -38,11 +40,7 @@ def make_serving_fn(model, variables):
         x = images_u8.astype(jnp.float32) / 255.0
         x = (x - mean) / std
         out = model.apply(variables, x, training=False)
-        if isinstance(out, (tuple, list)):
-            logits = sum(o.astype(jnp.float32) for o in out) / len(out)
-        else:
-            logits = out.astype(jnp.float32)
-        return logits
+        return average_head_logits(out)
 
     return fn
 

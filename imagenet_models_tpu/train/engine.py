@@ -43,9 +43,11 @@ _PREEMPT = {"signaled": False}
 
 def install_preemption_handler():
     """Preemption-safe training (SURVEY §5.3): TPU maintenance events deliver
-    SIGTERM; convert it into a recovery checkpoint + clean exit at the next
-    step boundary so `--resume` restarts losslessly. The reference's only
-    story here is the operator restarting from the last recovery checkpoint
+    SIGTERM; convert it into a recovery checkpoint + clean exit at a step
+    boundary so `--resume` restarts without skipping data (the snapshot
+    carries epoch-1 semantics: the interrupted epoch re-runs from its start,
+    see CheckpointSaver.save_recovery). The reference's only story here is
+    the operator restarting from the last recovery checkpoint
     (GA/train.py:810-812); this closes the window since the last one."""
     import signal
 
@@ -57,6 +59,26 @@ def install_preemption_handler():
         signal.signal(signal.SIGTERM, _handler)
     except ValueError:  # not the main thread (e.g. under pytest plugins)
         pass
+
+
+def _preempt_agreed(sync_point: bool) -> bool:
+    """Whether to act on a SIGTERM now. Single-process: the local flag,
+    checked every step. Multi-host: the signal can land on different hosts at
+    different step boundaries, so acting on the local flag alone would leave
+    peers dispatching the next step's collectives against this host's
+    recovery-save collectives (deadlock / mixed-step checkpoint shards);
+    instead ALL processes agree (allgather of the flag bit, any() wins) and
+    only at deterministic batch indices so every host runs the same
+    collective sequence."""
+    if jax.process_count() == 1:
+        return _PREEMPT["signaled"]
+    if not sync_point:
+        return False
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.array([1 if _PREEMPT["signaled"] else 0], np.int32))
+    return bool(np.asarray(flags).max())
 
 
 def save_image_grid(images: np.ndarray, path: str, cols: int = 8):
@@ -99,6 +121,7 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
     for batch_idx, (images, targets) in enumerate(loader):
         data_time.update(time.time() - end)
         n = images.shape[0]
+        host_images = images  # pre-shard host batch (for --save-images)
         images, targets = shard_batch((images, targets), mesh)
         if profile_steps and epoch == 0:
             # jax.profiler trace hook (SURVEY §5.1 rebuild item)
@@ -136,18 +159,22 @@ def train_one_epoch(epoch: int, state, step_fn, loader, mesh, rng,
                 epoch, batch_idx, len(loader), 100.0 * batch_idx / max(last_idx, 1),
                 losses.val, losses.avg, batch_time.val, rate, lr_now,
                 data_time.val, data_time.avg)
-        if save_images_dir and batch_idx % log_interval == 0:
-            # debug batch dumps every log interval (GA/train.py:803-808)
-            save_image_grid(images, os.path.join(
+        if save_images_dir and batch_idx % log_interval == 0 and jax.process_index() == 0:
+            # debug batch dumps every log interval (GA/train.py:803-808);
+            # dumped from the host batch (this process's rows) — the
+            # post-shard_batch array spans non-addressable devices multi-host
+            save_image_grid(host_images, os.path.join(
                 save_images_dir, f"train-batch-{batch_idx}.jpg"))
 
         if saver is not None and recovery_interval and (
                 batch_idx == last_idx or (batch_idx + 1) % recovery_interval == 0):
-            saver.save_recovery(state, epoch, batch_idx)
+            saver.save_recovery(state, epoch, batch_idx,
+                                epoch_complete=batch_idx == last_idx)
 
-        if _PREEMPT["signaled"]:
+        if _preempt_agreed(do_log or batch_idx == last_idx):
             if saver is not None:
-                saver.save_recovery(state, epoch, batch_idx)
+                saver.save_recovery(state, epoch, batch_idx,
+                                    epoch_complete=batch_idx == last_idx)
                 _logger.warning("preemption recovery checkpoint saved "
                                 "(epoch %d batch %d)", epoch, batch_idx)
             raise Preempted(f"epoch {epoch} batch {batch_idx}")

@@ -29,6 +29,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from imagenet_models_tpu.nn.heads import average_head_logits
 from imagenet_models_tpu.parallel.mesh import DATA_AXIS, zero1_spec
 from imagenet_models_tpu.train.losses import multi_head_loss
 
@@ -141,7 +142,8 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def local_step(state: TrainState, images, targets, rng, reduce=None):
+    def local_step(state: TrainState, images, targets, rng, reduce=None,
+                   n_shards: int = 1):
         if grad_accum == 1:
             # no microbatching: skip the scan (and its zero-init + add pass
             # over the full gradient tree)
@@ -151,14 +153,40 @@ def make_train_step(
             # per-shard microbatching
             b = images.shape[0]
             mb = b // grad_accum
-            images = images.reshape(grad_accum, mb, *images.shape[1:])
-            targets = targets.reshape(grad_accum, mb, *targets.shape[1:])
+            if n_shards > 1 and mb % n_shards == 0:
+                # global-jit (zero1) path: a plain contiguous reshape would
+                # make microbatch a = global rows [a*mb, (a+1)*mb), held by
+                # only n_shards/grad_accum devices — GSPMD would all-to-all
+                # every scan step. Regroup so each microbatch takes rows
+                # *within every device shard* (exactly the shard_map path's
+                # per-device grouping): (B,)->(D, A, per) is shard-local, and
+                # so are the (D,A) swap and the in-scan (D,per) flatten.
+                per = mb // n_shards
+                batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+                def regroup(x):
+                    x = x.reshape(n_shards, grad_accum, per, *x.shape[1:])
+                    x = jax.lax.with_sharding_constraint(x, batch_sh)
+                    return jnp.swapaxes(x, 0, 1)
+
+                def flat_mb(x):
+                    return jax.lax.with_sharding_constraint(
+                        x.reshape(x.shape[0] * x.shape[1], *x.shape[2:]), batch_sh)
+
+                images, targets = regroup(images), regroup(targets)
+            else:
+                def flat_mb(x):
+                    return x
+
+                images = images.reshape(grad_accum, mb, *images.shape[1:])
+                targets = targets.reshape(grad_accum, mb, *targets.shape[1:])
             rngs = jax.random.split(rng, grad_accum)
 
             def micro(carry, xs):
                 gsum, _, bstats = carry
                 im, tg, r = xs
-                (loss, new_bs), grads = grad_fn(state.params, bstats, im, tg, r)
+                (loss, new_bs), grads = grad_fn(
+                    state.params, bstats, flat_mb(im), flat_mb(tg), r)
                 gsum = jax.tree.map(jnp.add, gsum, grads)
                 return (gsum, loss, new_bs if new_bs else bstats), loss
 
@@ -212,7 +240,8 @@ def make_train_step(
                 batch_sh = NamedSharding(mesh, P(DATA_AXIS))
                 rep = NamedSharding(mesh, P())
                 cache["fn"] = jax.jit(
-                    lambda st, im, tg, r: local_step(st, im, tg, r, reduce=None),
+                    lambda st, im, tg, r: local_step(
+                        st, im, tg, r, reduce=None, n_shards=np_size(mesh)),
                     in_shardings=(st_sh, batch_sh, batch_sh, rep),
                     out_shardings=(st_sh, rep),
                     donate_argnums=(0,),
@@ -249,10 +278,7 @@ def make_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False,
         if batch_stats:
             variables["batch_stats"] = batch_stats
         out = model.apply(variables, images, training=False)
-        if isinstance(out, (tuple, list)):
-            logits = sum(o.astype(jnp.float32) for o in out) / len(out)
-        else:
-            logits = out.astype(jnp.float32)
+        logits = average_head_logits(out)
         if tta and tta > 1:
             g = logits.shape[0] // tta
             logits = logits[: g * tta].reshape(g, tta, -1).mean(axis=1)

@@ -124,10 +124,9 @@ def main():
         mean = jnp.asarray(cfg["mean"], jnp.float32)
         std = jnp.asarray(cfg["std"], jnp.float32)
         x = (u8.astype(jnp.float32) / 255.0 - mean) / std
-        ref = model.apply(variables, x, training=False)
-        if isinstance(ref, (tuple, list)):
-            ref = sum(o.astype(jnp.float32) for o in ref) / len(ref)
-        ref = np.asarray(ref)
+        from imagenet_models_tpu.nn.heads import average_head_logits
+
+        ref = np.asarray(average_head_logits(model.apply(variables, x, training=False)))
         err = float(np.abs(got - ref).max())
         assert np.isfinite(got).all() and err < 1e-3, err
         _logger.info("selftest ok: max |artifact - live| = %.2e", err)

@@ -32,15 +32,17 @@ class _OneBatchLoader:
     """Minimal loader protocol for engine.validate: yields this process's
     local rows once."""
 
-    def __init__(self, images, targets):
+    def __init__(self, images, targets, repeats: int = 1):
         self.images, self.targets = images, targets
         self.batch_size = images.shape[0]
+        self.repeats = repeats
 
     def __len__(self):
-        return 1
+        return self.repeats
 
     def __iter__(self):
-        yield self.images, self.targets
+        for _ in range(self.repeats):
+            yield self.images, self.targets
 
 
 def main(pid: int, nprocs: int, port: str):
@@ -113,7 +115,27 @@ def main(pid: int, nprocs: int, port: str):
         saver.save_checkpoint(zstate, epoch=0, metric=float(zm["loss"]))
         zsig = float(zm["loss"])
 
+    # Preemption agreement: SIGTERM lands on ONE process only; every process
+    # must act at the same deterministic batch boundary (engine._preempt_agreed
+    # allgathers the flag) or the collective recovery save would interleave
+    # with the peer's next train-step collectives (deadlock / mixed-step
+    # checkpoint shards).
+    pre_batch = -1
+    if zdir:
+        from imagenet_models_tpu.train import engine
+
+        engine._PREEMPT["signaled"] = pid == 1  # only the last process is hit
+        try:
+            engine.train_one_epoch(
+                3, state, step, _OneBatchLoader(l_images, l_targets, repeats=3),
+                mesh, jax.random.PRNGKey(2), log_interval=1, saver=saver)
+        except engine.Preempted as e:
+            pre_batch = int(str(e).rsplit(" ", 1)[-1])
+        finally:
+            engine._PREEMPT["signaled"] = False
+
     print(json.dumps({"pid": pid, "loss": loss, "zloss": zsig,
+                      "pre_batch": pre_batch,
                       "top1": float(res["top1"]), "top5": float(res["top5"])}),
           flush=True)
 

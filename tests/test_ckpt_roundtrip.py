@@ -111,6 +111,30 @@ def test_resume_checkpoint_extracts_variables_from_train_state(tmp_path):
     np.testing.assert_array_equal(np.asarray(got_ema["params"]["w"]), 3.0 * np.ones((2, 2)))
 
 
+def test_recovery_epoch_semantics(tmp_path):
+    """Mid-epoch recovery snapshots carry epoch-1 so a --resume restart
+    (start_epoch = saved + 1) re-runs the interrupted epoch from its start —
+    no data silently skipped; only a snapshot at the epoch's final batch
+    records the epoch itself (CheckpointSaver.save_recovery)."""
+    import optax
+
+    from imagenet_models_tpu.ckpt.saver import CheckpointSaver, resume_checkpoint
+    from imagenet_models_tpu.train.state import create_train_state
+
+    variables = {"params": {"w": jnp.ones((2, 2))}}
+    state = create_train_state(variables, optax.sgd(1e-3))
+    saver = CheckpointSaver(str(tmp_path / "ckpt"))
+    path = str(tmp_path / "ckpt" / "recovery")
+
+    saver.save_recovery(state, epoch=5, batch_idx=100)  # mid-epoch
+    _, ep = resume_checkpoint(path, state)
+    assert ep == 4  # start_epoch = 5: the interrupted epoch re-runs
+
+    saver.save_recovery(state, epoch=5, batch_idx=999, epoch_complete=True)
+    _, ep = resume_checkpoint(path, state)
+    assert ep == 5  # epoch finished: start_epoch = 6
+
+
 def test_maxvit_ckpt_usable_at_new_resolution():
     """change_img_size equivalent (map_maxvit.py:1276-1283): rel-pos tables
     from a checkpoint trained at one resolution are bilinearly re-resolved to

@@ -253,8 +253,8 @@ def test_preemption_saves_recovery_and_raises():
     saved = []
 
     class _Saver:
-        def save_recovery(self, state, epoch, batch_idx):
-            saved.append((epoch, batch_idx))
+        def save_recovery(self, state, epoch, batch_idx, epoch_complete=False):
+            saved.append((epoch, batch_idx, epoch_complete))
 
     def step_fn(state, images, targets, rng):
         calls["n"] += 1
@@ -266,7 +266,9 @@ def test_preemption_saves_recovery_and_raises():
         with pytest.raises(engine.Preempted):
             train_one_epoch(0, {}, step_fn, _FakeLoader(), mesh,
                             jax.random.PRNGKey(0), log_interval=1, saver=_Saver())
-        assert saved and saved[-1] == (0, 1)  # boundary right after batch 1
+        # boundary right after batch 1, flagged mid-epoch (epoch_complete=False
+        # unless it was the final batch)
+        assert saved and saved[-1] == (0, 1, False)
         assert calls["n"] == 2  # batch 2 never dispatched
     finally:
         engine._PREEMPT["signaled"] = False

@@ -172,6 +172,14 @@ def test_two_process_run_matches_single_process(tmp_path):
     # ZeRO-1 sharded state was allgathered + saved collectively: the on-disk
     # checkpoint restores into a bare variables target in THIS process
     assert outs[0]["zloss"] == outs[1]["zloss"] != 0.0
+
+    # preemption agreement: the flag landed on process 1 only, yet BOTH
+    # processes raised Preempted at the same batch boundary (batch 0, the
+    # first sync point) and the collective recovery snapshot landed on disk
+    # with epoch-1 semantics (interrupted epoch 3 -> meta epoch 2)
+    assert outs[0]["pre_batch"] == outs[1]["pre_batch"] == 0, outs
+    with open(os.path.join(ckpt_dir, "recovery", "meta.json")) as f:
+        assert json.load(f)["epoch"] == 2
     from imagenet_models_tpu.ckpt.saver import resume_checkpoint
 
     sys.path.insert(0, os.path.join(REPO, "tests"))

@@ -94,6 +94,24 @@ def test_zero1_state_actually_sharded():
     assert all(x.sharding.is_fully_replicated for x in jax.tree.leaves(state.params))
 
 
+def test_zero1_grad_accum_matches_replicated():
+    """Pins the microbatch regrouping in the global-jit (zero1) grad-accum
+    path (train/state.py local_step n_shards>1): microbatch a must take rows
+    *within every device shard* — exactly the shard_map path's per-device
+    grouping — so the two paths see identical microbatch compositions and
+    produce identical losses/params, and GSPMD never reshuffles rows across
+    devices between scan steps."""
+    mesh, _, s_rep, step_rep = _setup(mmcap=False, zero1=False, grad_accum=2)
+    _, _, s_z1, step_z1 = _setup(mmcap=False, zero1=True, grad_accum=2)
+    images, targets = _batch(mesh)
+    for i in range(3):
+        s_rep, m_rep = step_rep(s_rep, images, targets, jax.random.PRNGKey(i))
+        s_z1, m_z1 = step_z1(s_z1, images, targets, jax.random.PRNGKey(i))
+        assert abs(float(m_rep["loss"]) - float(m_z1["loss"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(s_rep.params), jax.tree.leaves(s_z1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
 def test_zero1_mmcap_trains_and_evals():
     # BN-bearing mmcap head: global-batch stats (exact SyncBN); loss falls,
     # EMA eval path consumes the sharded EMA shadow

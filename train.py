@@ -490,6 +490,14 @@ def run(args, args_text: str):
             state = state.replace(opt_state=set_schedule_count(
                 tx.init(state.params), start_epoch * steps_per_epoch))
             _logger.info("resumed weights only (--no-resume-opt)")
+        else:
+            # timm steps the LR scheduler by epoch, outside the optimizer:
+            # re-point the schedule counter at the resume epoch so a
+            # mid-epoch recovery snapshot (epoch-1 semantics re-runs the
+            # interrupted epoch) or a changed batch size cannot drift the
+            # cosine; Adam/LAMB moment bias-correction counts are untouched
+            state = state.replace(opt_state=set_schedule_count(
+                state.opt_state, start_epoch * steps_per_epoch))
         _logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
     if args.start_epoch is not None:
         # manual epoch override (GA/train.py:169-170 semantics); the applied
@@ -598,7 +606,7 @@ def run(args, args_text: str):
         return
     except Preempted as e:
         _logger.warning("preempted (%s); recovery checkpoint saved — restart "
-                        "with --resume %s", e, output_dir)
+                        "with --resume %s", e, os.path.join(output_dir, "recovery"))
         return
     except KeyboardInterrupt:
         pass
