@@ -147,8 +147,56 @@ def _dw_conv7_shiftadd(x, dw_w, dw_b):
     return acc.astype(x.dtype) + dw_b.astype(x.dtype)
 
 
+# Experiment knob #2 (hybrid): the full-stencil loss above was driven by the
+# AUTODIFF backward (49 full-tensor wgrad reductions + 49 unfused dx adds),
+# not necessarily the forward. This probe keeps the stencil ONLY for the
+# forward (so the forward graph has no conv op and XLA keeps the row-major
+# layout the Pallas LN+MLP kernels want) and routes dx/wgrad through XLA's
+# conv lowering via a custom VJP. MEASURED SLOWER (2026-08-19, v5e B=128
+# full train step via scripts/bench_train.py): 1028 vs 1215 img/s — the
+# forward stencil alone costs more than the ~9ms of layout copies it saves
+# (XLA re-reads the padded buffer per tap; no halo reuse), isolating the
+# earlier 688 split as ~190 img/s forward + ~340 backward. Fifth and final
+# dw-conv formulation measured against XLA's conv lowering; all five lost.
+_DW_HYBRID = os.environ.get("IMTPU_DW_HYBRID", "0") != "0"
+
+
+@jax.custom_vjp
+def _dw_conv7_hybrid(x, dw_w, dw_b):
+    return _dw_conv7_shiftadd(x, dw_w, dw_b)
+
+
+def _dw_hybrid_fwd(x, dw_w, dw_b):
+    return _dw_conv7_shiftadd(x, dw_w, dw_b), (x, dw_w, dw_b)
+
+
+def _dw_hybrid_bwd(res, g):
+    x, dw_w, dw_b = res
+    # dx: depthwise correlation with the flipped kernel (XLA conv lowering)
+    dx = jax.lax.conv_general_dilated(
+        g, jnp.flip(dw_w, (0, 1)).astype(g.dtype), (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=g.shape[-1]).astype(x.dtype)
+    # wgrad: per-channel correlation of x with g — XLA's standard depthwise
+    # weight-grad (batch as the contraction dim, C as feature groups)
+    dw = jax.lax.conv_general_dilated(
+        jnp.transpose(x, (3, 1, 2, 0)), jnp.transpose(g, (1, 2, 0, 3)),
+        (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        batch_group_count=x.shape[-1],
+        preferred_element_type=jnp.float32)
+    dw = jnp.transpose(dw, (1, 2, 0, 3)).astype(dw_w.dtype)  # -> (7,7,1,C)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(dw_b.dtype)
+    return dx, dw, db
+
+
+_dw_conv7_hybrid.defvjp(_dw_hybrid_fwd, _dw_hybrid_bwd)
+
+
 def dw_conv7(x, dw_w, dw_b):
     """Depthwise 7x7 (XLA lowering, fast on TPU)."""
+    if _DW_HYBRID:
+        return _dw_conv7_hybrid(x, dw_w, dw_b)
     if _DW_SHIFTADD:
         return _dw_conv7_shiftadd(x, dw_w, dw_b)
     return jax.lax.conv_general_dilated(

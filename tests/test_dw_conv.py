@@ -83,6 +83,28 @@ def test_shiftadd_matches_conv():
                                    rtol=2e-4, atol=2e-4, err_msg=nm)
 
 
+def test_hybrid_matches_conv():
+    """Hybrid probe (IMTPU_DW_HYBRID: stencil forward, XLA-conv dx/wgrad via
+    custom VJP) must equal the lax.conv lowering, values and grads — in
+    particular the batch_group_count wgrad formulation."""
+    from imagenet_models_tpu.ops.convnext_block import _dw_conv7_hybrid
+
+    x, dw_w, dw_b, g = _case(3, 12, 12, 96, seed=11)
+
+    def loss(fn, x, w, b):
+        return jnp.sum(fn(x, w, b) * g)
+
+    with jax.default_matmul_precision("highest"):
+        ref_y = dw_conv7(x, dw_w, dw_b)
+        got_y = _dw_conv7_hybrid(x, dw_w, dw_b)
+        ref = jax.grad(lambda *a: loss(dw_conv7, *a), argnums=(0, 1, 2))(x, dw_w, dw_b)
+        got = jax.grad(lambda *a: loss(_dw_conv7_hybrid, *a), argnums=(0, 1, 2))(x, dw_w, dw_b)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y), rtol=2e-5, atol=2e-5)
+    for nm, r, o in zip(("dx", "dw", "db"), ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
 def test_forward_unchanged():
     x, dw_w, dw_b, _ = _case(2, 10, 10, 64, seed=5)
     ref = dw_conv7(x, dw_w, dw_b)
