@@ -70,6 +70,26 @@ def test_setup_x_model_product(monkeypatch, captured):
     assert mob.input_size == [3, 160, 160] and mob.reprob == 0.0
 
 
+def test_dist_flags_reach_run(monkeypatch, captured):
+    """Multi-host launches go through the recipe runner too (the reference's
+    true entry point is torchrun'd multi-node; here the jax.distributed
+    flags forward to train.py)."""
+    _main(monkeypatch, [
+        "convnext_tiny", "-m", "map_convnext_tiny", "--data-dir", "synthetic:32",
+        "--dist-coordinator", "10.0.0.1:1234",
+        "--dist-num-processes", "4", "--dist-process-id", "2",
+    ])
+    args = captured[0][0]
+    assert args.dist_coordinator == "10.0.0.1:1234"
+    assert args.dist_num_processes == 4 and args.dist_process_id == 2
+    # without the flag the recipe default stays (single-process)
+    captured.clear()
+    _main(monkeypatch, [
+        "convnext_tiny", "-m", "map_convnext_tiny", "--data-dir", "synthetic:32",
+    ])
+    assert captured[0][0].dist_coordinator == ""
+
+
 def test_finetune_flags_reach_run(monkeypatch, captured):
     """ADVICE round-1 regression: -fp/-pt must be copied onto run args."""
     _main(monkeypatch, [

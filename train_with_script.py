@@ -50,6 +50,12 @@ def get_multi_args_parser():
     p.add_argument("-b", "--batch-size", type=int, default=None, help="override recipe batch")
     p.add_argument("-tb", "--total-batch-size", type=int, default=None)
     # mmcap hyper-parameters (fixed; reference train_with_script.py:38-42)
+    p.add_argument("--dist-coordinator", type=str, default="",
+                   help="multi-host: coordinator host:port or 'auto' "
+                        "(forwarded to train.py; the reference reaches "
+                        "multi-node through torchrun env vars instead)")
+    p.add_argument("--dist-num-processes", type=int, default=0)
+    p.add_argument("--dist-process-id", type=int, default=0)
     p.add_argument("--dec-lam", default=-0.8, type=float)
     p.add_argument("--distill-tokens", default=0, type=int)
     p.add_argument("--token-distillation", default=1, type=int)
@@ -86,6 +92,10 @@ def main():
             args.max_steps_per_epoch = multi_args.max_steps_per_epoch
             if multi_args.zero1:
                 args.zero1 = True
+            if multi_args.dist_coordinator:
+                args.dist_coordinator = multi_args.dist_coordinator
+                args.dist_num_processes = multi_args.dist_num_processes
+                args.dist_process_id = multi_args.dist_process_id
             run(args, args_text)
             gc.collect()
 
