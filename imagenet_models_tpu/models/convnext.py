@@ -79,7 +79,8 @@ class ConvNeXtBlock(nn.Module):
         # in-kernel weight-grad accumulation, ops/convnext_block.py)
         branch = convnext_block_apply(
             xc, dw["kernel"], dw["bias"], norm["scale"], norm["bias"],
-            pw1["kernel"], pw1["bias"], pw2["kernel"], pw2["bias"], gamma)
+            pw1["kernel"], pw1["bias"], pw2["kernel"], pw2["bias"], gamma,
+            training=training)
         branch = DropPath(self.drop_path)(branch, deterministic=not training)
         return x + branch.astype(x.dtype)
 

@@ -64,7 +64,8 @@ class GABlock(nn.Module):
         xc = x if self.dtype is None else x.astype(self.dtype)
         branch = convnext_block_apply(
             xc, dw["kernel"], dw["bias"], norm["scale"], norm["bias"],
-            fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"], gamma)
+            fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"], gamma,
+            training=training)
         branch = DropPath(self.drop_path)(branch, deterministic=not training)
         return x + branch.astype(x.dtype)
 

@@ -97,26 +97,72 @@ def _gelu_grad_noexp(x):
     return 0.5 + jnp.sign(x) * r
 
 
-# In-kernel GELU implementation: "exact" (default) = A&S erf (1 exp + 1
-# divide per element, fastest measured); "poly" = exp/divide-free minimax
-# polynomials above (measured slower, see A/B note); "relu" = timing probe
-# ONLY (wrong numerics — never in production paths).
-_GELU_IMPL = os.environ.get("IMTPU_GELU", "exact")
+# "fast": SINGLE-segment odd minimax fits, no exp/divide/selects — the
+# cheap-GELU shape the 2-segment "poly" probe above missed (selects evaluate
+# BOTH branches on the VPU, so poly paid ~2x its nominal op count). The
+# IMTPU_GELU=relu timing probe bounds the whole GELU cost at ~12% of the
+# train step (1366 vs 1215 img/s, 2026-08-19); this recovers most of it:
+#   erf(z) ~ z*P8((z/2.75)^2) on |z|<=2.75, clamp beyond (erf there is 1
+#   within 1.01e-4): max err 3.1e-5 fit + 1.0e-4 clamp tail;
+#   gelu'(x)-0.5 ~ x*Q10((x/5)^2) on |x|<=5, clamp: max err 1.9e-4.
+# Both errors sit ~20x below bf16 output quantization (eps/2 = 3.9e-3
+# relative), so training numerics are unchanged at the production dtype;
+# fwd/bwd stay mutually consistent (both use the same fast impl).
+_ERF_F8 = (1.128179019700242, -2.833873458377666, 6.288517611119356,
+           -10.440794928636649, 12.424005344159935, -9.860067339137903,
+           4.602827094685715, -0.9452048310751889)  # in (z/2.75)^2
+_GG_F10 = (0.7970334043621504, -6.5780944269226085, 35.6419098348847,
+           -127.98971343596055, 315.66741178811344, -535.3888724157551,
+           610.367501707186, -444.740199037125, 186.4500761464462,
+           -34.12709029923767)  # in (x/5)^2
 
 
-def _kernel_gelu(pre):
-    if _GELU_IMPL == "relu":
+def _erf_fast(z):
+    a = jnp.minimum(jnp.abs(z), 2.75)
+    u = jnp.square(a * (1.0 / 2.75))
+    return jnp.sign(z) * (a * _horner(u, _ERF_F8))
+
+
+def _gelu_grad_fast(x):
+    a = jnp.minimum(jnp.abs(x), 5.0)
+    u = jnp.square(a * (1.0 / 5.0))
+    return 0.5 + jnp.sign(x) * (a * _horner(u, _GG_F10))
+
+
+# In-kernel GELU implementation, selected per call site (static under jit):
+# "exact" = A&S erf (1 exp + 1 divide per element) — the EVAL default, so the
+#   checkpoint-interchange/golden-top-1 contract keeps reference numerics;
+# "fast" = single-segment minimax above (no transcendentals, ~1e-4 accurate,
+#   ~20x below bf16 resolution) — the TRAINING default (A/B 2026-08-19, v5e
+#   B=128 full train step: fast 1266 vs exact 1215 img/s; the relu timing
+#   probe bounds any GELU work at 1366);
+# "poly" = 2-segment minimax (measured slower than exact, kept on record);
+# "relu" = timing probe ONLY (wrong numerics — never in production paths).
+# The IMTPU_GELU env var, when set, forces one impl for BOTH modes.
+_GELU_ENV = os.environ.get("IMTPU_GELU", "")
+
+
+def resolve_gelu_impl(training: bool) -> str:
+    return _GELU_ENV or ("fast" if training else "exact")
+
+
+def _kernel_gelu(pre, impl: str):
+    if impl == "relu":
         return jnp.maximum(pre, 0.0)
-    if _GELU_IMPL == "exact":
+    if impl == "exact":
         return 0.5 * pre * (1.0 + _erf_poly(pre * (2 ** -0.5)))
+    if impl == "fast":
+        return 0.5 * pre * (1.0 + _erf_fast(pre * (2 ** -0.5)))
     return 0.5 * pre * (1.0 + _erf_poly_noexp(pre * (2 ** -0.5)))
 
 
-def _kernel_gelu_grad(pre):
-    if _GELU_IMPL == "relu":
+def _kernel_gelu_grad(pre, impl: str):
+    if impl == "relu":
         return (pre > 0.0).astype(jnp.float32)
-    if _GELU_IMPL == "exact":
+    if impl == "exact":
         return _gelu_grad(pre)
+    if impl == "fast":
+        return _gelu_grad_fast(pre)
     return _gelu_grad_noexp(pre)
 
 
@@ -205,20 +251,25 @@ def dw_conv7(x, dw_w, dw_b):
         feature_group_count=x.shape[-1]) + dw_b.astype(x.dtype)
 
 
-def plain_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
+def plain_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6,
+                 gelu_impl: str = "exact"):
     """LN -> MLP -> layer-scale in plain XLA ops (also the VJP path)."""
     hf = h.astype(jnp.float32)
     mu = hf.mean(axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
     hf = (hf - mu) * jax.lax.rsqrt(var + eps) * ln_s + ln_b
     y = hf.astype(h.dtype)
-    y = gelu(y @ w1.astype(h.dtype) + b1.astype(h.dtype))
+    y = y @ w1.astype(h.dtype) + b1.astype(h.dtype)
+    if gelu_impl == "exact":
+        y = gelu(y)
+    else:
+        y = _kernel_gelu(y.astype(jnp.float32), gelu_impl).astype(y.dtype)
     y = y @ w2.astype(h.dtype) + b2.astype(h.dtype)
     return y * gamma.astype(h.dtype)
 
 
 def _kernel(h_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            gamma_ref, out_ref, *, eps: float):
+            gamma_ref, out_ref, *, eps: float, gelu_impl: str = "exact"):
     h = h_ref[:].astype(jnp.float32)  # (T, C)
     mu = h.mean(axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
@@ -228,7 +279,7 @@ def _kernel(h_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     tokens = ln.astype(out_ref.dtype)
     hmid = jnp.dot(tokens, w1_ref[:], preferred_element_type=jnp.float32)
     hmid = hmid + b1_ref[:].astype(jnp.float32)
-    hmid = _kernel_gelu(hmid).astype(out_ref.dtype)
+    hmid = _kernel_gelu(hmid, gelu_impl).astype(out_ref.dtype)
     out = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
     out_ref[:] = (out * gamma_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
@@ -263,7 +314,8 @@ def _fwd_tile(n: int, c: int, hidden: int) -> int:
     return _fit_tile(t, n)
 
 
-def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
+def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6,
+                         gelu_impl: str = "exact"):
     b, hh, ww, c = h.shape
     n = b * hh * ww
     hidden = w1.shape[-1]
@@ -272,7 +324,7 @@ def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, gelu_impl=gelu_impl),
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -295,7 +347,8 @@ def _gelu_grad(x):
 
 def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                 b2_ref, gamma_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref,
-                db1_ref, dw2_ref, db2_ref, dgamma_ref, *, eps: float):
+                db1_ref, dw2_ref, db2_ref, dgamma_ref, *, eps: float,
+                gelu_impl: str = "exact"):
     """One token tile of the LN->MLP->scale backward.
 
     Recomputes the forward from the tile of `h` (nothing saved to HBM), then
@@ -317,7 +370,7 @@ def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     tokens = ln.astype(cdt)
     pre1 = jnp.dot(tokens, w1_ref[:], preferred_element_type=jnp.float32)
     pre1 = pre1 + b1_ref[:].astype(jnp.float32)
-    hmid = _kernel_gelu(pre1)
+    hmid = _kernel_gelu(pre1, gelu_impl)
     hmid_c = hmid.astype(cdt)
     pre2 = jnp.dot(hmid_c, w2_ref[:], preferred_element_type=jnp.float32)
     pre2 = pre2 + b2_ref[:].astype(jnp.float32)
@@ -339,7 +392,7 @@ def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         dpre2_c, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    dpre1 = dhmid * _kernel_gelu_grad(pre1)
+    dpre1 = dhmid * _kernel_gelu_grad(pre1, gelu_impl)
     db1_p = jnp.sum(dpre1, axis=0, keepdims=True)
     dpre1_c = dpre1.astype(cdt)
     dw1_p = jax.lax.dot_general(
@@ -393,7 +446,7 @@ def _bwd_tile(n: int, c: int, hidden: int) -> int:
 
 
 def _fused_ln_mlp_bwd_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, g,
-                             eps: float = 1e-6):
+                             eps: float = 1e-6, gelu_impl: str = "exact"):
     b, hh, ww, cc = h.shape
     n = b * hh * ww
     hidden = w1.shape[-1]
@@ -406,7 +459,7 @@ def _fused_ln_mlp_bwd_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, g,
                                        memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps),
+        functools.partial(_bwd_kernel, eps=eps, gelu_impl=gelu_impl),
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, cc), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -437,13 +490,16 @@ def _fused_ln_mlp_bwd_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, g,
             shape_of(gamma, dgamma))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6):
-    return _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6,
+                 gelu_impl: str = "exact"):
+    return _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps,
+                                gelu_impl)
 
 
-def _fwd(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps):
-    out = _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+def _fwd(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps, gelu_impl):
+    out = _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps,
+                               gelu_impl)
     return out, (h, ln_s, ln_b, w1, b1, w2, b2, gamma)
 
 
@@ -452,10 +508,12 @@ def _fwd(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps):
 _FUSED_BWD = os.environ.get("IMTPU_FUSED_BWD", "1") != "0"
 
 
-def _bwd(eps, residuals, g):
+def _bwd(eps, gelu_impl, residuals, g):
     if _FUSED_BWD:
-        return _fused_ln_mlp_bwd_pallas(*residuals, g, eps=eps)
-    _, vjp = jax.vjp(lambda *a: plain_ln_mlp(*a, eps=eps), *residuals)
+        return _fused_ln_mlp_bwd_pallas(*residuals, g, eps=eps,
+                                        gelu_impl=gelu_impl)
+    _, vjp = jax.vjp(lambda *a: plain_ln_mlp(*a, eps=eps, gelu_impl=gelu_impl),
+                     *residuals)
     return vjp(g)
 
 
@@ -463,14 +521,15 @@ fused_ln_mlp.defvjp(_fwd, _bwd)
 
 
 def plain_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
-                         eps: float = 1e-6):
+                         eps: float = 1e-6, gelu_impl: str = "exact"):
     """Full pre-residual branch in plain ops (parity/reference path)."""
     h = dw_conv7(x, dw_w, dw_b)
-    return plain_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps=eps)
+    return plain_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps=eps,
+                        gelu_impl=gelu_impl)
 
 
 def fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
-                         eps: float = 1e-6):
+                         eps: float = 1e-6, gelu_impl: str = "exact"):
     # dw conv (fwd AND both grads) stays in XLA: a Pallas weight-grad kernel
     # (ops/dw_conv.py, opt-in IMTPU_DW_WGRAD=1) measured SLOWER at every
     # stage shape — see its docstring for the A/B
@@ -480,7 +539,7 @@ def fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
         h = dw_conv7_opt(x, dw_w, dw_b)
     else:
         h = dw_conv7(x, dw_w, dw_b)
-    return fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+    return fused_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps, gelu_impl)
 
 
 # memory knob, NOT a speed knob: A/B on v5e measured 858 vs 1060 img/s with
@@ -503,26 +562,34 @@ _PALLAS_MIN_C = int(os.environ.get("IMTPU_PALLAS_MIN_C", "0"))
 def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
                          gamma: Optional[jnp.ndarray], eps: float = 1e-6,
                          use_pallas: Optional[bool] = None,
-                         remat: Optional[bool] = None):
+                         remat: Optional[bool] = None,
+                         training: bool = False):
     """Dispatch: Pallas fusion on TPU, plain ops elsewhere. The branch is
     picked per lowering platform (works under jit/shard_map on any device
-    placement). Returns the pre-residual branch output."""
+    placement). Returns the pre-residual branch output.
+
+    `training` selects the GELU implementation (see resolve_gelu_impl):
+    eval keeps the exact-erf reference numerics for the checkpoint
+    interchange contract; training uses the fast minimax fit (~1e-4, far
+    below bf16 resolution) for the measured +4% step throughput."""
+    gelu_impl = resolve_gelu_impl(training)
     if gamma is None:
         gamma = jnp.ones((x.shape[-1],), jnp.float32)
     if use_pallas is None and x.shape[-1] < _PALLAS_MIN_C:
         use_pallas = False
     if use_pallas is True:
-        return fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+        return fused_convnext_block(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
+                                    gamma, eps, gelu_impl)
     if use_pallas is False:
         fn = plain_convnext_block
         if remat if remat is not None else _REMAT:
             # don't store the 4C hidden activations; recompute in backward
             # (HBM bandwidth, not FLOPs, bounds the train step)
             fn = jax.checkpoint(fn, policy=jax.checkpoint_policies.nothing_saveable,
-                                static_argnums=(10,))
-        return fn(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps)
+                                static_argnums=(10, 11))
+        return fn(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, eps, gelu_impl)
     return jax.lax.platform_dependent(
         x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
-        cpu=functools.partial(plain_convnext_block, eps=eps),
-        default=functools.partial(fused_convnext_block, eps=eps),
+        cpu=functools.partial(plain_convnext_block, eps=eps, gelu_impl=gelu_impl),
+        default=functools.partial(fused_convnext_block, eps=eps, gelu_impl=gelu_impl),
     )

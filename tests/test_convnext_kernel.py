@@ -93,6 +93,39 @@ def test_custom_vjp_wires_fused_backward(monkeypatch):
                                    rtol=5e-5, atol=5e-5)
 
 
+def test_fast_gelu_accuracy_and_dispatch():
+    """The TRAINING-default fast GELU (single-segment minimax, no
+    exp/divide/selects; measured 1266 vs 1215 img/s on the full train step):
+    (a) accuracy sits far below bf16 output quantization, (b) the mode
+    dispatch keeps eval on exact-erf (checkpoint-interchange contract), and
+    (c) fast-impl kernel == fast-impl plain composition (shared impl, so the
+    kernel parity guarantee is impl-independent)."""
+    x = jnp.asarray(np.linspace(-30.0, 30.0, 400001), jnp.float32)
+    xs = np.asarray(x, np.float64)
+    erf_err = np.max(np.abs(np.asarray(cb._erf_fast(x), np.float64)
+                            - np.vectorize(__import__("math").erf)(xs)))
+    assert erf_err < 2e-4, erf_err
+    sqrt2 = np.sqrt(2.0)
+    phi = np.exp(-0.5 * xs * xs) / np.sqrt(2 * np.pi)
+    gg_exact = 0.5 * (1.0 + np.vectorize(__import__("math").erf)(xs / sqrt2)) + xs * phi
+    gg_err = np.max(np.abs(np.asarray(cb._gelu_grad_fast(x), np.float64) - gg_exact))
+    assert gg_err < 5e-4, gg_err
+
+    # dispatch policy: training -> fast, eval -> exact; IMTPU_GELU overrides
+    if not cb._GELU_ENV:
+        assert cb.resolve_gelu_impl(True) == "fast"
+        assert cb.resolve_gelu_impl(False) == "exact"
+
+    # kernel (interpret) == plain with the SAME fast impl
+    args = _args(c=64, n_tokens=32)
+    with jax.default_matmul_precision("highest"):
+        ref = cb.plain_ln_mlp(*args, gelu_impl="fast")
+        with pltpu.force_tpu_interpret_mode():
+            got = cb._fused_ln_mlp_pallas(*args, gelu_impl="fast")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_noexp_gelu_polynomials_match_exact():
     """The exp/divide-free in-kernel GELU polys (opt-in IMTPU_GELU=poly;
     measured slower than exact on the full step, kept as a probe) stay well
