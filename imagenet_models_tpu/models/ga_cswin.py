@@ -35,6 +35,7 @@ from imagenet_models_tpu.nn.layers import (
     adaptive_avg_pool,
     gelu,
     resize_bilinear,
+    resolve_act,
     trunc_normal_init,
 )
 from imagenet_models_tpu.ops.cswin_attention import CSWinBlock
@@ -108,10 +109,10 @@ class GA_CSWinTransformer(nn.Module):
             x = nn.Conv(self.embed_dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="stem_conv0")(x)
-            x = gelu(LayerNorm(dtype=self.dtype, name="stem_norm0")(x))
+            x = resolve_act(gelu, not training)(LayerNorm(dtype=self.dtype, name="stem_norm0")(x))
             x = nn.Conv(self.embed_dim, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                         dtype=self.dtype, kernel_init=trunc_normal_init(), name="stem_conv1")(x)
-            x = gelu(LayerNorm(dtype=self.dtype, name="stem_norm1")(x))
+            x = resolve_act(gelu, not training)(LayerNorm(dtype=self.dtype, name="stem_norm1")(x))
             x = nn.Conv(dims[0], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="stem_conv2")(x)

@@ -126,6 +126,34 @@ def test_fast_gelu_accuracy_and_dispatch():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_xla_mlp_gelu_mode_resolution():
+    """Transformer-family MLPs (nn/layers Mlp/GroupConvMlp) swap exact-erf
+    GELU for the fast fit in training only (measured +13% on the
+    ga_cswin_tiny train step); eval keeps exact erf bit-for-bit, and an
+    explicitly different activation is never touched."""
+    from imagenet_models_tpu.nn import layers as L
+
+    if L._XLA_GELU_ENV:
+        pytest.skip("IMTPU_XLA_GELU forces one impl for both modes")
+    assert L.resolve_act(L.gelu, deterministic=True) is L.gelu
+    assert L.resolve_act(L.gelu, deterministic=False) is L.gelu_fast
+    assert L.resolve_act(jax.nn.relu, deterministic=False) is jax.nn.relu
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 7, 24)),
+                    jnp.float32)
+    mlp = L.Mlp(hidden_features=48)
+    v = mlp.init(jax.random.PRNGKey(0), x)
+    ev = mlp.apply(v, x, deterministic=True)
+    tr = mlp.apply(v, x, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    # same math to ~fit accuracy; not identical (different erf impls)
+    np.testing.assert_allclose(np.asarray(tr), np.asarray(ev),
+                               rtol=5e-3, atol=5e-3)
+    # fast fit == exact gelu to its fitted accuracy on raw values
+    g = np.asarray(L.gelu_fast(x))
+    np.testing.assert_allclose(g, np.asarray(L.gelu(x)), atol=6e-4)
+
+
 def test_noexp_gelu_polynomials_match_exact():
     """The exp/divide-free in-kernel GELU polys (opt-in IMTPU_GELU=poly;
     measured slower than exact on the full step, kept as a probe) stay well
