@@ -268,11 +268,33 @@ def plain_ln_mlp(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6,
     return y * gamma.astype(h.dtype)
 
 
+# Probe knob (IMTPU_LN_STATS=mxu): compute the in-kernel LN mean/E[x^2] as
+# fp32 matvecs against a constant 1/C column instead of cross-lane VPU
+# reductions — hypothesis was that at C=96 the reduction underfills the
+# 128-lane VPU while the MXU sits idle between the two MLP matmuls.
+# MEASURED FLAT (2026-08-19, v5e B=128 full train step): 1265.9 vs 1266.6
+# img/s — Mosaic's cross-lane reductions are not a cost at these shapes;
+# the stage-0 kernel's gap to roofline is elsewhere (scheduling/pipeline).
+_LN_STATS = os.environ.get("IMTPU_LN_STATS", "vpu")
+
+
+def _ln_stats(h, c: int):
+    """(mu, var) over the trailing dim of fp32 (T, C) h."""
+    if _LN_STATS == "mxu":
+        ones = jnp.full((c, 8), 1.0 / c, jnp.float32)
+        mu = jax.lax.dot_general(h, ones, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[:, :1]
+        m2 = jax.lax.dot_general(h * h, ones, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[:, :1]
+        return mu, jnp.maximum(m2 - mu * mu, 0.0)
+    mu = h.mean(axis=-1, keepdims=True)
+    return mu, jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+
+
 def _kernel(h_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             gamma_ref, out_ref, *, eps: float, gelu_impl: str = "exact"):
     h = h_ref[:].astype(jnp.float32)  # (T, C)
-    mu = h.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    mu, var = _ln_stats(h, h_ref.shape[-1])
     ln = (h - mu) * jax.lax.rsqrt(var + eps)
     ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
 
