@@ -20,8 +20,8 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
 
 
 def _build_and_load():
