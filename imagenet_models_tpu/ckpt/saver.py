@@ -45,8 +45,21 @@ def _is_writer() -> bool:
 
 
 class CheckpointSaver:
+    """timm-CheckpointSaver semantics on orbax.
+
+    async_save=True (single-process only): the device→host snapshot stays
+    synchronous (it must capture THIS step's state), but serialization +
+    last/model_best copies + history pruning run on a write-behind thread so
+    the train loop overlaps them with the next steps — this is where the
+    reference's blocking `torch.save` burns step time on every
+    `--recovery-interval` snapshot (GA/train.py:810-812). At most one save is
+    in flight (the next save waits for the previous write), bounding host
+    memory to two state copies. Multi-host saves are collective (allgather +
+    orbax barrier) and stay synchronous."""
+
     def __init__(self, checkpoint_dir: str, max_history: int = 10,
-                 decreasing: bool = False, args_text: str = ""):
+                 decreasing: bool = False, args_text: str = "",
+                 async_save: bool = False):
         self.dir = os.path.abspath(checkpoint_dir)
         os.makedirs(self.dir, exist_ok=True)
         self.max_history = max_history
@@ -54,6 +67,17 @@ class CheckpointSaver:
         self.best_metric: Optional[float] = None
         self.best_epoch: Optional[int] = None
         self._ckpt = ocp.PyTreeCheckpointer()
+        self._executor = None
+        self._inflight = None
+        if async_save:
+            if jax.process_count() > 1:
+                raise ValueError("async_save is single-process only: multi-host "
+                                 "saves are collective (allgather + orbax "
+                                 "barrier) and must run on the caller")
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="imtpu-ckpt")
         if args_text and _is_writer():
             with open(os.path.join(self.dir, "args.yaml"), "w") as f:
                 f.write(args_text)
@@ -61,33 +85,77 @@ class CheckpointSaver:
     def _path(self, name: str) -> str:
         return os.path.join(self.dir, name)
 
+    def _submit(self, fn):
+        """Run fn now (sync mode) or enqueue it on the single writer thread
+        (submission order == execution order)."""
+        if self._executor is None:
+            fn()
+            return
+
+        def logged():
+            try:
+                fn()
+            except BaseException:
+                _logger.exception("async checkpoint write failed")
+                raise
+
+        self._inflight = self._executor.submit(logged)
+
+    def wait_until_finished(self):
+        """Block until every queued write has landed; re-raises a failed
+        write's exception (so a run never ends believing a checkpoint exists
+        that was silently lost)."""
+        if self._inflight is not None:
+            fut, self._inflight = self._inflight, None
+            fut.result()
+
     def _save(self, state, epoch: int, name: str, metric: Optional[float] = None):
+        # Back-pressure: one save in flight — a queued write must land (or
+        # raise) before we snapshot more state.
+        self.wait_until_finished()
         # _to_host and _ckpt.save are BOTH collective under multi-host
         # (allgather of sharded leaves; orbax's internal save barrier), so
         # every process runs them — orbax writes from the primary only.
         # Plain filesystem prep/meta stays rank-0.
         host = _to_host(state)
-        path = self._path(name)
         multi = jax.process_count() > 1
-        if _is_writer() and os.path.exists(path):
-            shutil.rmtree(path)
         if multi:
+            if _is_writer() and os.path.exists(self._path(name)):
+                shutil.rmtree(self._path(name))
             from jax.experimental import multihost_utils
 
             # the stale dir must be gone everywhere before save's own
             # existence check runs on any process
             multihost_utils.sync_global_devices(f"imtpu:saver:{name}:{epoch}")
-        self._ckpt.save(path, host)
-        if _is_writer():
-            meta = {"epoch": epoch,
-                    "metric": None if metric is None else float(metric)}
-            with open(os.path.join(path, "meta.json"), "w") as f:
-                json.dump(meta, f)
+
+        def write():
+            path = self._path(name)
+            if not multi and os.path.exists(path):
+                shutil.rmtree(path)
+            self._ckpt.save(path, host)
+            if _is_writer():
+                meta = {"epoch": epoch,
+                        "metric": None if metric is None else float(metric)}
+                with open(os.path.join(path, "meta.json"), "w") as f:
+                    json.dump(meta, f)
+
+        self._submit(write)
 
     def save_checkpoint(self, state, epoch: int, metric: Optional[float] = None
                         ) -> Tuple[Optional[float], Optional[int]]:
         self._save(state, epoch, f"checkpoint-{epoch}", metric)
-        if _is_writer():
+        # best-tracking is decided NOW (metric is a reduced host float and
+        # must stay consistent on every process); only the file copies are
+        # deferred behind the checkpoint write
+        better = metric is not None and (
+            self.best_metric is None or
+            (metric < self.best_metric if self.decreasing else metric > self.best_metric))
+        if better:
+            self.best_metric, self.best_epoch = metric, epoch
+
+        def post():
+            if not _is_writer():
+                return
             # 'last' is a file copy of checkpoint-N, not a second serialize —
             # the _save path costs a full cross-host allgather of the
             # (ZeRO-1-sharded) optimizer/EMA tree plus an orbax write
@@ -95,24 +163,18 @@ class CheckpointSaver:
             if os.path.exists(last):
                 shutil.rmtree(last)
             shutil.copytree(self._path(f"checkpoint-{epoch}"), last)
-        if _is_writer():
             # prune history
             ckpts = sorted(glob.glob(self._path("checkpoint-*")),
                            key=lambda p: int(p.rsplit("-", 1)[1]))
             while len(ckpts) > self.max_history:
                 shutil.rmtree(ckpts.pop(0))
-        if metric is not None:
-            # metric is globally reduced, so best-tracking stays consistent
-            # on every process; only the writer touches files
-            better = (self.best_metric is None or
-                      (metric < self.best_metric if self.decreasing else metric > self.best_metric))
             if better:
-                self.best_metric, self.best_epoch = metric, epoch
-                if _is_writer():
-                    best = self._path("model_best")
-                    if os.path.exists(best):
-                        shutil.rmtree(best)
-                    shutil.copytree(self._path(f"checkpoint-{epoch}"), best)
+                best = self._path("model_best")
+                if os.path.exists(best):
+                    shutil.rmtree(best)
+                shutil.copytree(self._path(f"checkpoint-{epoch}"), best)
+
+        self._submit(post)
         return self.best_metric, self.best_epoch
 
     def save_recovery(self, state, epoch: int, batch_idx: int,
@@ -125,6 +187,7 @@ class CheckpointSaver:
         self._save(state, epoch if epoch_complete else epoch - 1, "recovery", None)
 
     def restore(self, name: str, target) -> Tuple[Any, int]:
+        self.wait_until_finished()
         path = self._path(name)
         state = self._ckpt.restore(path, item=_to_host(target))
         with open(os.path.join(path, "meta.json")) as f:

@@ -536,7 +536,11 @@ def run(args, args_text: str):
         run_name = bytes(buf[buf != 0]).decode()
     output_dir = os.path.join(args.output or "./output/train", run_name)
     saver = CheckpointSaver(output_dir, max_history=args.checkpoint_hist,
-                            decreasing=args.eval_metric == "loss", args_text=args_text)
+                            decreasing=args.eval_metric == "loss", args_text=args_text,
+                            # single-process: overlap checkpoint writes with
+                            # the next train steps (multi-host saves are
+                            # collective and must stay on the callers)
+                            async_save=n_proc == 1)
     _logger.info("output dir: %s", output_dir)
 
     log_wandb = False
@@ -610,6 +614,10 @@ def run(args, args_text: str):
         return
     except KeyboardInterrupt:
         pass
+    finally:
+        # land every queued async write before the process reports its exit
+        # reason (the recovery-save messages above promise a usable dir)
+        saver.wait_until_finished()
     if best_metric is not None:
         _logger.info("*** Best metric: %s (epoch %s)", best_metric, best_epoch)
 
