@@ -217,7 +217,14 @@ def test_validate_cli_logit_extract_boolean(tmp_path, monkeypatch):
     out = tmp_path / "output" / "logit" / "map_mobilenet_v1.npz"
     assert out.exists(), "boolean form must derive the reference dump path"
     data = np.load(out)
-    assert "logits" in data and data["logits"].shape[0] == 4
+    # validate.py rounds the batch up to the device count for shard-ability
+    # (batch = max(n_dev, b // n_dev * n_dev)), so the one allowed batch
+    # holds 4 samples on 1 device but 8 on the 8-device CPU mesh.
+    import jax
+
+    n_dev = len(jax.devices())
+    expected = min(8, max(n_dev, 4 // n_dev * n_dev))
+    assert "logits" in data and data["logits"].shape[0] == expected
     assert np.isfinite(result["top1"])
 
 
