@@ -51,7 +51,11 @@ def main():
     train_bs = 128
 
     x1 = jnp.zeros((1, 224, 224, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x1, training=False)
+    # jit the init: unjitted it dispatches thousands of ops individually,
+    # which is pathologically slow through the tunneled device (~2.4ms each)
+    from imagenet_models_tpu.core.setup import jit_init
+
+    variables = jit_init(model, jax.random.PRNGKey(0), x1, training=False)
 
     # ---- eval throughput ----
     from imagenet_models_tpu.train.state import TrainState
