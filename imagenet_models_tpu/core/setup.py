@@ -61,6 +61,10 @@ def run_with_cache_recovery(fn, *args, **kwargs):
         import shutil
 
         shutil.rmtree(cache_dir_path(), ignore_errors=True)
+        # jax does not recreate a vanished cache dir when persisting entries
+        # (the write warns FileNotFoundError and is dropped) — recreate it so
+        # the retry's cold compiles are persisted for the next process.
+        os.makedirs(cache_dir_path(), exist_ok=True)
         jax.clear_caches()
         return fn(*args, **kwargs)
 

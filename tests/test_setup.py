@@ -33,6 +33,10 @@ def test_recovery_retries_once_on_stale_cache(tmp_path, monkeypatch):
 
     assert run_with_cache_recovery(fn) == 42
     assert len(calls) == 2
+    # the wipe must leave an (empty) cache dir behind: jax does not recreate
+    # a vanished dir when persisting entries, it drops them with a warning
+    assert (tmp_path / "cache").is_dir()
+    assert not list((tmp_path / "cache").iterdir())
 
 
 def test_recovery_does_not_swallow_other_errors():
