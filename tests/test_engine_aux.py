@@ -233,9 +233,11 @@ def test_set_schedule_count_repoints_lr_only():
         st, is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState))
         if isinstance(x := s, optax.ScaleByScheduleState)]
     assert sched and all(int(s.count) == 1234 for s in sched)
+    from imagenet_models_tpu.train.optim import TimmLambState
+
     adam = [s for s in jax.tree_util.tree_leaves(
-        st, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
-        if isinstance(s, optax.ScaleByAdamState)]
+        st, is_leaf=lambda x: isinstance(x, TimmLambState))
+        if isinstance(s, TimmLambState)]
     assert adam and all(int(s.count) == 0 for s in adam)
 
     seen.clear()

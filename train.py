@@ -74,7 +74,9 @@ parser.add_argument("-tb", "--total-batch-size", type=int, default=None,
 parser.add_argument("-vb", "--validation-batch-size", type=int, default=None)
 # Optimizer
 parser.add_argument("--opt", default="lamb", type=str)
-parser.add_argument("--opt-eps", default=1e-8, type=float)
+parser.add_argument("--opt-eps", default=None, type=float,
+                    help="None -> the optimizer's own default (lamb 1e-6, "
+                         "adamw 1e-8), as the reference parser (GA/train.py:128)")
 parser.add_argument("--opt-betas", default=None, type=float, nargs="+")
 parser.add_argument("--momentum", type=float, default=0.9)
 parser.add_argument("--weight-decay", type=float, default=0.05)
@@ -135,7 +137,8 @@ parser.add_argument("--aug-splits", type=int, default=0,
 parser.add_argument("--resplit", action="store_true", default=False,
                     help="skip random erasing on the clean aug-split")
 parser.add_argument("--split-bn", action="store_true", default=False,
-                    help="per-aug-split BN; unsupported (fails loudly)")
+                    help="per-aug-split BN batch statistics (timm "
+                         "convert_splitbn_model semantics; needs --aug-splits)")
 parser.add_argument("--drop", type=float, default=0.0)
 parser.add_argument("--drop-connect", type=float, default=None)
 parser.add_argument("--drop-path", type=float, default=None)
@@ -321,10 +324,15 @@ def run(args, args_text: str):
             "--resplit without --aug-splits (timm's erase-second-half-batch "
             "mode) is not supported; none of the reference recipes use it")
     if args.split_bn:
-        raise NotImplementedError(
-            "--split-bn (per-split BN statistics via timm "
-            "convert_splitbn_model) is not supported; train without it or "
-            "drop --aug-splits")
+        # timm convert_splitbn_model (GA/train.py:439-441): per-split BN batch
+        # statistics; clean split feeds the running stats. Trace-time global
+        # read by nn.layers.BatchNorm (must be set before the first jit).
+        if num_aug_splits <= 1:
+            raise ValueError(
+                "--split-bn requires --aug-splits >= 2 (GA/train.py:439)")
+        from imagenet_models_tpu.nn.layers import set_bn_splits
+
+        set_bn_splits(max(num_aug_splits, 2))
     if args.apex_amp or args.native_amp:
         # reference AMP-implementation selectors; the one AMP here is bf16
         args.amp = True
