@@ -21,6 +21,25 @@ BASELINE_3090_EVAL = 1665.0  # MAP/README.MD §2: ConvNeXt-T+MAP img/s on RTX 30
 # estimated ~555 img/s for the reference's 3090 on ConvNeXt-T+MAP.
 BASELINE_3090_TRAIN_EST = BASELINE_3090_EVAL / 3.0
 
+# --- auditability vs the BASELINE.md north star ("exceed A100 train
+# img/s/chip"). The reference has no A100 numbers, so this is an explicit,
+# documented estimate: on convnet-family models at 224^2 an 80GB A100
+# typically measures ~2x an RTX 3090 (public timm benchmark tables; the
+# bf16-tensor-core peak ratio 312/71 TFLOP/s is larger, but these models are
+# partly memory-bound where the HBM ratio is 2039/936 GB/s ~ 2.2x — 2.0x is
+# the conservative round number). Train estimate keeps the same /3 rule.
+A100_OVER_3090_EST = 2.0
+A100_EVAL_EST = BASELINE_3090_EVAL * A100_OVER_3090_EST        # ~3330 img/s
+A100_TRAIN_EST = BASELINE_3090_TRAIN_EST * A100_OVER_3090_EST  # ~1110 img/s
+
+# Model cost and chip peak, for achieved-TFLOP/s / %-of-peak reporting:
+# ConvNeXt-T+MAP is 4.9 GMACs/img (MAP/README.MD §2 table "FLOPs(G)" counts
+# MACs, timm convention) => 9.8 GFLOP forward. Train = fwd + bwd ~ 3x fwd.
+GMACS_PER_IMG = 4.9
+EVAL_FLOPS_PER_IMG = 2 * GMACS_PER_IMG * 1e9
+TRAIN_FLOPS_PER_IMG = 3 * EVAL_FLOPS_PER_IMG
+V5E_PEAK_BF16 = 197e12  # TPU v5e: 197 TFLOP/s bf16 per chip (public spec)
+
 
 def main():
     import jax
@@ -103,13 +122,22 @@ def main():
         "vs_baseline": round(eval_ips / BASELINE_3090_EVAL, 4),
         "train_images_per_sec_per_chip": round(train_ips, 2),
         "train_vs_baseline_est": round(train_ips / BASELINE_3090_TRAIN_EST, 4),
+        "gmacs_per_img": GMACS_PER_IMG,
+        "eval_tflops": round(eval_ips * EVAL_FLOPS_PER_IMG / 1e12, 2),
+        "eval_pct_of_v5e_peak": round(
+            100 * eval_ips * EVAL_FLOPS_PER_IMG / V5E_PEAK_BF16, 2),
+        "train_tflops": round(train_ips * TRAIN_FLOPS_PER_IMG / 1e12, 2),
+        "train_pct_of_v5e_peak": round(
+            100 * train_ips * TRAIN_FLOPS_PER_IMG / V5E_PEAK_BF16, 2),
+        "train_vs_a100_est": round(train_ips / A100_TRAIN_EST, 4),
+        "eval_vs_a100_est": round(eval_ips / A100_EVAL_EST, 4),
         "device": str(dev),
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    from imagenet_models_tpu.core.setup import run_with_cache_recovery
-
-    # survive a stale AOT compile-cache entry after a libtpu roll
-    run_with_cache_recovery(main)
+    # jit_init (the first device work inside main) already routes through
+    # run_with_cache_recovery; wrapping main here too would re-run the whole
+    # benchmark after a second cache wipe (ADVICE r2) — no outer wrapper.
+    main()

@@ -47,10 +47,31 @@ def _is_stale_cache_error(e: BaseException) -> bool:
     return "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg
 
 
+def _configured_cache_dir() -> str:
+    """The compile-cache dir actually in use: whatever setup_jax() configured
+    into jax.config (which may have come from an explicit cache_dir arg),
+    falling back to the env/default path (ADVICE r2: wiping cache_dir_path()
+    unconditionally misses a custom setup_jax(cache_dir=...))."""
+    import jax
+
+    try:
+        configured = jax.config.jax_compilation_cache_dir
+    except Exception:  # pragma: no cover - older jax
+        configured = None
+    return configured or cache_dir_path()
+
+
 def run_with_cache_recovery(fn, *args, **kwargs):
-    """Run fn; if it dies on a stale persistent-cache entry (libtpu rolled
-    under a serialized AOT executable -> FAILED_PRECONDITION at
-    deserialization), wipe the cache and retry once cold."""
+    """Run fn with FAILED_PRECONDITION self-healing.
+
+    Two failure modes share that status on this host: (a) a transient of the
+    tunneled TPU backend, and (b) a stale persistent-cache entry (libtpu
+    rolled under a serialized AOT executable, dying at deserialization).
+    First retry WITHOUT wiping — that heals (a) and costs nothing; only a
+    second FAILED_PRECONDITION (the stale entry deterministically re-fails)
+    wipes the configured cache dir and retries cold (ADVICE r2: an
+    unconditional first-strike wipe let transients delete ~10min/entry of
+    cache)."""
     import jax
 
     try:
@@ -58,13 +79,20 @@ def run_with_cache_recovery(fn, *args, **kwargs):
     except Exception as e:  # includes jax.errors.JaxRuntimeError
         if not _is_stale_cache_error(e):
             raise
+        jax.clear_caches()
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e2:
+            if not _is_stale_cache_error(e2):
+                raise
         import shutil
 
-        shutil.rmtree(cache_dir_path(), ignore_errors=True)
+        cache_dir = _configured_cache_dir()
+        shutil.rmtree(cache_dir, ignore_errors=True)
         # jax does not recreate a vanished cache dir when persisting entries
         # (the write warns FileNotFoundError and is dropped) — recreate it so
         # the retry's cold compiles are persisted for the next process.
-        os.makedirs(cache_dir_path(), exist_ok=True)
+        os.makedirs(cache_dir, exist_ok=True)
         jax.clear_caches()
         return fn(*args, **kwargs)
 
