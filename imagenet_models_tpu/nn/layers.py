@@ -105,6 +105,30 @@ class LayerNorm(nn.LayerNorm):
     epsilon: float = 1e-6
 
 
+# --split-bn (timm convert_splitbn_model, /root/reference/GA/train.py:439-441):
+# under --aug-splits each BN normalizes every split with that split's OWN
+# batch statistics, and only the clean split's statistics feed the running
+# stats the eval path consumes (timm routes split 0 through the "main" BN and
+# the rest through aux BNs whose running stats eval never reads). Trace-time
+# global, set by the engine before jit (the aug-splits batch layout here is
+# sample-major interleaved — split j = rows j mod s — see
+# train/losses.py:jsd_cross_entropy's layout note; timm chunks block-major,
+# the math is layout-invariant). Documented deviation: timm's aux BNs also
+# carry their own affine scale/bias (trained separately per split); here the
+# affine is shared across splits — aux affines are never consumed at eval and
+# keeping the param tree split-invariant preserves checkpoint interchange.
+_BN_SPLITS = 1
+
+
+def set_bn_splits(n: int) -> None:
+    global _BN_SPLITS
+    _BN_SPLITS = max(int(n), 1)
+
+
+def bn_splits() -> int:
+    return _BN_SPLITS
+
+
 class BatchNorm(nn.Module):
     """BatchNorm over all axes but the last, torch-compatible semantics.
 
@@ -112,6 +136,8 @@ class BatchNorm(nn.Module):
     + 0.1*batch), affine. Uses the 'batch_stats' collection. If `axis_name` is
     set and we are in training mode, batch statistics are psum-averaged across
     that mesh axis (SyncBN, reference --sync-bn /root/reference/GA/train.py:448-459).
+    In training with `set_bn_splits(s>1)` (--split-bn + --aug-splits), batch
+    statistics are computed per interleaved split (see _BN_SPLITS note above).
     """
 
     momentum: float = 0.9
@@ -127,8 +153,37 @@ class BatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((features,), jnp.float32))
 
+        splits = bn_splits() if not use_running_average else 1
+        if splits > 1 and (self.is_initializing() or x.shape[0] % splits):
+            splits = 1
+
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif splits > 1:
+            # per-split statistics (--split-bn): rows are sample-major
+            # interleaved, split j = rows j mod s, clean split j=0
+            xf = x.astype(jnp.float32)
+            xr = xf.reshape(x.shape[0] // splits, splits, *x.shape[1:])
+            axes = (0,) + tuple(range(2, xr.ndim - 1))
+            mean = jnp.mean(xr, axis=axes)                      # (s, C)
+            mean2 = jnp.mean(jnp.square(xr), axis=axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = math.prod([xr.shape[i] for i in axes])
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                unbiased0 = var[0] * (n / max(n - 1, 1))
+                # only the clean split feeds the running stats eval reads
+                # (timm main-BN semantics)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean[0]
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased0
+            bshape = (1, splits) + (1,) * (xr.ndim - 3) + (x.shape[-1],)
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = (xr - mean.reshape(bshape)) * inv.reshape(bshape) + bias
+            return y.reshape(x.shape).astype(self.dtype or x.dtype)
         else:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
