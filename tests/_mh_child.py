@@ -28,13 +28,28 @@ def build():
     return model, variables
 
 
+def uneven_eval_rows(nprocs):
+    """Deterministic eval set whose LAST process shard holds half the rows of
+    its peers (an uneven eval tail); shared with the single-process reference
+    in test_multihost.py."""
+    import numpy as np
+
+    erng = np.random.default_rng(42)
+    full = 2 * 2 * nprocs // 4  # rows per full process (stay tiny)
+    rows = [full] * (nprocs - 1) + [full // 2]
+    images = erng.standard_normal((sum(rows), 32, 32, 3)).astype(np.float32)
+    targets = erng.integers(0, 11, (sum(rows),)).astype(np.int64)
+    return images, targets, rows, full
+
+
 class _OneBatchLoader:
     """Minimal loader protocol for engine.validate: yields this process's
-    local rows once."""
+    local rows once. batch_size may exceed the rows held (an uneven eval
+    tail): engine.validate pads to batch_size and masks the metric."""
 
-    def __init__(self, images, targets, repeats: int = 1):
+    def __init__(self, images, targets, repeats: int = 1, batch_size=None):
         self.images, self.targets = images, targets
-        self.batch_size = images.shape[0]
+        self.batch_size = batch_size or images.shape[0]
         self.repeats = repeats
 
     def __len__(self):
@@ -93,6 +108,20 @@ def main(pid: int, nprocs: int, port: str):
     eval_step = make_eval_step(model, mesh=mesh)
     res = validate(state, eval_step, _OneBatchLoader(l_images, l_targets), mesh)
 
+    # Uneven eval tail (world>2): the last process holds HALF the rows of its
+    # peers; every process still yields the same batch count (padded batches,
+    # static shapes), and validate's count-weighted allgather must produce the
+    # exact global accuracy over the 7n/8-row set. Deterministic eval rows
+    # shared by the single-process reference in test_multihost.py.
+    res_uneven = None
+    if nprocs >= 4:
+        e_images, e_targets, rows, full = uneven_eval_rows(nprocs)
+        lo = sum(rows[:pid])
+        le_im, le_tg = e_images[lo:lo + rows[pid]], e_targets[lo:lo + rows[pid]]
+        res_uneven = validate(
+            state, eval_step,
+            _OneBatchLoader(le_im, le_tg, batch_size=full), mesh)
+
     # ZeRO-1 sharded state through the multi-host saver: opt_state/EMA leaves
     # are not fully addressable, so _to_host must allgather (collective) and
     # only process 0 writes; the checkpoint on disk must round-trip.
@@ -124,7 +153,7 @@ def main(pid: int, nprocs: int, port: str):
     if zdir:
         from imagenet_models_tpu.train import engine
 
-        engine._PREEMPT["signaled"] = pid == 1  # only the last process is hit
+        engine._PREEMPT["signaled"] = pid == nprocs - 1  # only ONE process is hit
         try:
             engine.train_one_epoch(
                 3, state, step, _OneBatchLoader(l_images, l_targets, repeats=3),
@@ -134,10 +163,12 @@ def main(pid: int, nprocs: int, port: str):
         finally:
             engine._PREEMPT["signaled"] = False
 
-    print(json.dumps({"pid": pid, "loss": loss, "zloss": zsig,
-                      "pre_batch": pre_batch,
-                      "top1": float(res["top1"]), "top5": float(res["top5"])}),
-          flush=True)
+    out = {"pid": pid, "loss": loss, "zloss": zsig, "pre_batch": pre_batch,
+           "top1": float(res["top1"]), "top5": float(res["top5"])}
+    if res_uneven is not None:
+        out["utop1"] = float(res_uneven["top1"])
+        out["utop5"] = float(res_uneven["top5"])
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
