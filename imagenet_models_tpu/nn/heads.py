@@ -16,6 +16,7 @@ name-map + transpose.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -46,6 +47,36 @@ def average_head_logits(out) -> jnp.ndarray:
     if isinstance(out, (tuple, list)):
         return sum(o.astype(jnp.float32) for o in out) / len(out)
     return out.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _triu_take(gflat: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Upper-triangle extraction from a flattened (B, C*C) gram matrix.
+
+    Custom VJP: autodiff would emit a scatter-add into the (B, C*C) gram
+    cotangent — TPU scatters serialize; the map_maxvit train-step profile
+    charged 0.92ms x n_groups per step to them. The indices are STATIC and
+    unique, so the backward is a plain inverse gather times a 0/1 mask."""
+    iu0, iu1 = np.triu_indices(c)
+    return gflat[:, iu0 * c + iu1]
+
+
+def _triu_take_fwd(gflat, c):
+    return _triu_take(gflat, c), None
+
+
+def _triu_take_bwd(c, _res, dflat):
+    iu0, iu1 = np.triu_indices(c)
+    idx = iu0 * c + iu1
+    inv = np.zeros(c * c, np.int32)
+    inv[idx] = np.arange(idx.size, dtype=np.int32)
+    mask = np.zeros(c * c, np.float32)
+    mask[idx] = 1.0
+    dg = dflat[:, inv] * jnp.asarray(mask, dflat.dtype)
+    return (dg,)
+
+
+_triu_take.defvjp(_triu_take_fwd, _triu_take_bwd)
 
 
 def gram_triu_normalize(x: jnp.ndarray, scale: float, interleave: int = 1) -> jnp.ndarray:
@@ -80,8 +111,7 @@ def gram_triu_normalize(x: jnp.ndarray, scale: float, interleave: int = 1) -> jn
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (B, C, C)
-    iu0, iu1 = np.triu_indices(c)
-    flat = gram.reshape(b, c * c)[:, iu0 * c + iu1]
+    flat = _triu_take(gram.reshape(b, c * c), c)
     norm = jnp.sqrt(jnp.sum(jnp.square(flat), axis=-1, keepdims=True))
     flat = flat / jnp.maximum(norm, 1e-12)
     if interleave > 1:

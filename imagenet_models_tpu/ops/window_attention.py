@@ -10,6 +10,7 @@ softmax; the TF-style relative position bias table matches timm RelPosBiasTf
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -65,6 +66,23 @@ def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
     return rel.sum(-1)  # (area, area)
 
 
+def _use_matmul_relpos() -> bool:
+    # Resolve the rel-pos table via a constant one-hot matmul instead of
+    # gather: fwd gather (heads, area^2) becomes an MXU (area^2, table) x
+    # (table, heads) dot, and — the real point — the BACKWARD scatter-add
+    # into the table becomes a transposed matmul (TPU scatters serialize).
+    # Opt-in until measured on the full train step (IMTPU_RELPOS_MATMUL=1).
+    return os.environ.get("IMTPU_RELPOS_MATMUL", "") == "1"
+
+
+def _onehot_index(idx: np.ndarray, n_table: int) -> np.ndarray:
+    """(area, area) index map -> (area*area, n_table) one-hot selector."""
+    flat = idx.reshape(-1)
+    sel = np.zeros((flat.size, n_table), np.float32)
+    sel[np.arange(flat.size), flat] = 1.0
+    return sel
+
+
 class RelPosBiasTf(nn.Module):
     """timm RelPosBiasTf: zero-init table of shape (heads, 2H-1, 2W-1)."""
 
@@ -78,6 +96,12 @@ class RelPosBiasTf(nn.Module):
                            (self.num_heads, 2 * wh - 1, 2 * ww - 1), jnp.float32)
         idx = _rel_pos_index(wh, ww)
         flat = table.reshape(self.num_heads, -1)
+        if _use_matmul_relpos():
+            sel = jnp.asarray(_onehot_index(idx, flat.shape[-1]))
+            bias = jax.lax.dot_general(  # (area^2, T) x (heads, T) -> contract T
+                sel, flat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return bias.T.reshape(self.num_heads, wh * ww, wh * ww)
         bias = flat[:, idx.reshape(-1)].reshape(self.num_heads, wh * ww, wh * ww)
         return bias
 
@@ -126,9 +150,6 @@ class AttentionCl(nn.Module):
         n = int(np.prod(lead[1:]))
 
         qkv = Dense(dim_attn * 3, use_bias=self.bias, dtype=self.dtype, name="qkv")(x)
-        # head_first=False ordering: (..., 3, heads, dim_head)
-        qkv = qkv.reshape(b, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         import os
 
@@ -137,6 +158,37 @@ class AttentionCl(nn.Module):
             bias = RelPosBiasTf(self.window_size, nh, name="rel_pos")()
         elif self.rel_pos_type == "bias":
             bias = RelPosBias(self.window_size, nh, name="rel_pos")()
+
+        if os.environ.get("IMTPU_QKV_SPLIT", "slice") == "slice" and \
+                not os.environ.get("IMTPU_FLASH_ATTN", "0") == "1":
+            # Channel-slice formulation — THE DEFAULT: identical math to the
+            # stacked (3, B, heads, N, d) split (head_first=False channel
+            # order is [3, heads, d], so a last-dim slice IS the 3-axis
+            # index), but without materializing the 5-d qkv transpose or the
+            # (B, heads, N, d) -> (B, N, heads*d) output transpose. The
+            # map_maxvit_tiny_tf_224 train step profile charged ~8ms/step of
+            # (4096,49,3,2,32) relayout copies to the stacked split; A/B on
+            # the full train step (v5e, B=64, 2026-08-20): slice 427.8 vs
+            # stack 386.6 img/s (+10.7%). IMTPU_QKV_SPLIT=stack restores the
+            # old path. (IMTPU_RELPOS_MATMUL=1 measured flat, 390.9 — the
+            # table scatter is NOT a bottleneck; kept opt-in.)
+            c = dim_attn
+            qkv = qkv.reshape(b, n, 3 * c)
+            q = qkv[..., :c].reshape(b, n, nh, d)
+            k = qkv[..., c:2 * c].reshape(b, n, nh, d)
+            v = qkv[..., 2 * c:].reshape(b, n, nh, d)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * (d ** -0.5), k)
+            if bias is not None:
+                attn = attn + bias.astype(attn.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(*lead, dim_attn)
+            out = Dense(dim_out, use_bias=self.bias, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+        # head_first=False ordering: (..., 3, heads, dim_head)
+        qkv = qkv.reshape(b, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
 
         # opt-in only: XLA's batched attention measured faster at these
         # window sizes (see ops/cswin_attention.py for the recorded A/B)
