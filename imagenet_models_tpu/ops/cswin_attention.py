@@ -77,14 +77,17 @@ class LePEAttention(nn.Module):
         nh = self.num_heads
         return t.reshape(bn, n, nh, t.shape[-1] // nh).transpose(0, 2, 1, 3)
 
-    def lepe_windows(self, v):
-        """Per-window depthwise 3x3 on V -> (B*nWin, heads, n, d). Border
-        handling is per-window, which matters for stripe windows
-        (ga_cswin.py:95-108)."""
+    def lepe_windows(self, v, heads_inner: bool = False):
+        """Per-window depthwise 3x3 on V -> (B*nWin, heads, n, d) (or
+        (B*nWin, n, heads, d) when heads_inner). Border handling is
+        per-window, which matters for stripe windows (ga_cswin.py:95-108)."""
         b, h, w, c = v.shape
         hs, ws = self.geometry(h, w)
         vw_sp = img2windows(v, hs, ws).reshape(-1, hs, ws, c)
         lepe = self.get_v(vw_sp)
+        if heads_inner:
+            nh = self.num_heads
+            return lepe.reshape(-1, hs * ws, nh, c // nh)
         return self.to_heads(lepe.reshape(-1, hs * ws, c))
 
     def __call__(self, q, k, v, *, deterministic: bool = True):
@@ -93,12 +96,6 @@ class LePEAttention(nn.Module):
         nh = self.num_heads
         d = c // nh
         scale = d ** -0.5
-        to_heads = self.to_heads
-
-        qw = to_heads(img2windows(q, hs, ws)) * scale
-        kw = to_heads(img2windows(k, hs, ws))
-        lepe = self.lepe_windows(v)
-        vw = to_heads(img2windows(v, hs, ws))
 
         # Default is the XLA batched path: measured A/B on v5e (ga_cswin_tiny
         # 224 eval, scripts/bench_cswin.py) gives XLA 1589 img/s vs 1137-1172
@@ -108,7 +105,63 @@ class LePEAttention(nn.Module):
         # opts into the kernel (ops/flash_attention.py) for re-evaluation.
         if (self.attn_drop > 0 and not deterministic) or \
                 os.environ.get("IMTPU_FLASH_ATTN", "0") != "1":
-            # prob-dropout needs the materialized attention matrix
+            if self.idx == 0 and os.environ.get("IMTPU_CSWIN_DIRECT", "0") == "1":
+                # Direct-stripe einsum probe — measured MUCH SLOWER, kept as
+                # a receipt: the idx=0 (vertical-stripe) partition is the one
+                # genuinely expensive relayout (idx=1's img2windows
+                # permutation only moves a size-1 dim), so attention is
+                # expressed straight on the unpartitioned (B,H,W,C) layout
+                # with two token dims per einsum side. A/B on the full
+                # ga_cswin_tiny train step (v5e B=128, 2026-08-20): direct
+                # 425.4 vs default 716.5 img/s — XLA materializes worse
+                # relayouts inside the 7-d dots than the explicit partition.
+                # Third losing formulation for the stripe layout (see also
+                # IMTPU_CSWIN_INNER 710.7, IMTPU_CSWIN_FUSED 1418-vs-1589
+                # eval): the partition transpose IS the efficient frontier.
+                j = w // ws
+                q5 = q.reshape(b, h, j, ws, nh, d) * scale
+                k5 = k.reshape(b, h, j, ws, nh, d)
+                v5 = v.reshape(b, h, j, ws, nh, d)
+                attn = jnp.einsum("bxjyhd,bujvhd->bjhxyuv", q5, k5)
+                a = attn.reshape(b, j, nh, h * ws, h * ws)
+                a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(attn.dtype)
+                a = self.attn_dropout(a, deterministic=deterministic)
+                attn7 = a.reshape(b, j, nh, h, ws, h, ws)
+                out = jnp.einsum("bjhxyuv,bujvhd->bxjyhd", attn7, v5)
+                lepe = self.lepe_windows(v, heads_inner=True)  # (b*j, hs*ws, nh, d)
+                lepe = lepe.reshape(b, j, h, ws, nh, d).transpose(0, 2, 1, 3, 4, 5)
+                out = out + lepe
+                return out.reshape(b, h, w, c)
+            if os.environ.get("IMTPU_CSWIN_INNER", "0") == "1":
+                # heads-inner formulation — measured FLAT here, kept opt-in:
+                # unlike MaxViT's AttentionCl (+10.7%), the A/B on the full
+                # ga_cswin_tiny train step (v5e B=128, 2026-08-20) gives
+                # inner 710.7 vs stacked 716.5 img/s — the stripe partition
+                # (img2windows) relayout dominates and XLA already folds the
+                # to_heads transpose into it; moving heads inner just moves
+                # the relayout into the einsum operands. (Both numbers are
+                # above the 695 img/s round-2 record: the unconditional qkv
+                # channel-slice split below + the scatter-free gram-triu
+                # backward account for the +3%.)
+                qw = img2windows(q, hs, ws)
+                kw = img2windows(k, hs, ws)
+                vw = img2windows(v, hs, ws)
+                n = qw.shape[1]
+                qh = qw.reshape(-1, n, nh, d) * scale
+                kh = kw.reshape(-1, n, nh, d)
+                vh = vw.reshape(-1, n, nh, d)
+                lepe = self.lepe_windows(v, heads_inner=True)
+                attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh)
+                attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+                attn = self.attn_dropout(attn, deterministic=deterministic)
+                out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh) + lepe
+                out = out.reshape(-1, hs * ws, c)
+                return windows2img(out, hs, ws, h, w)
+            # stacked (B*, heads, n, d) formulation
+            qw = self.to_heads(img2windows(q, hs, ws)) * scale
+            kw = self.to_heads(img2windows(k, hs, ws))
+            lepe = self.lepe_windows(v)
+            vw = self.to_heads(img2windows(v, hs, ws))
             attn = jnp.einsum("bhnd,bhmd->bhnm", qw, kw)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
             attn = self.attn_dropout(attn, deterministic=deterministic)
@@ -116,6 +169,10 @@ class LePEAttention(nn.Module):
         else:
             from imagenet_models_tpu.ops.flash_attention import window_attention
 
+            qw = self.to_heads(img2windows(q, hs, ws)) * scale
+            kw = self.to_heads(img2windows(k, hs, ws))
+            lepe = self.lepe_windows(v)
+            vw = self.to_heads(img2windows(v, hs, ws))
             bw, nh_, n_, d_ = qw.shape
             flat = lambda t: t.reshape(bw * nh_, n_, d_)
             out = window_attention(flat(qw), flat(kw), flat(vw))
@@ -200,8 +257,11 @@ class CSWinBlock(nn.Module):
         last = self.last_stage or (h == self.split_size)
         img = LayerNorm(dtype=self.dtype, name="norm1")(x)
         qkv = Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                    name="qkv")(img).reshape(b, h, w, 3, c)
-        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+                    name="qkv")(img)
+        # channel slices == indexing the 3-axis of reshape(..., 3, c): the
+        # qkv channel order is [3, c], and slicing avoids the strided
+        # mid-dim copies XLA emits for the (b,h,w,3,c) index
+        q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
 
         if last:
             att = LePEAttention(self.dim, self.num_heads, idx=-1,
