@@ -136,17 +136,28 @@ def rand_augment_transform(config_str: str) -> RandAugment:
     parts = config_str.split("-")
     assert parts[0] == "rand", config_str
     magnitude, mstd, num_layers, prob = 9.0, 0.0, 2, 0.5
+    inc = False
     for p in parts[1:]:
         if p.startswith("mstd"):
             mstd = float(p[4:])
         elif p.startswith("m"):
             magnitude = float(p[1:])
         elif p.startswith("inc"):
-            pass  # increasing set is the only one implemented (all recipes use it)
+            inc = p[3:] in ("", "1", "true", "True")
         elif p.startswith("n"):
             num_layers = int(p[1:])
         elif p.startswith("p"):
             prob = float(p[1:])
         elif p.startswith("w"):
             pass  # weighted choice unused by the recipes
+    if not inc:
+        # Only the "increasing" op set is implemented (every repo recipe passes
+        # inc1 — GA/train.py:186-188 / MAP recipe strings). Without inc1 timm
+        # uses different posterize/solarize/enhance magnitude math; silently
+        # substituting the increasing set would change the augmentation
+        # distribution, so refuse loudly instead.
+        raise NotImplementedError(
+            f"RandAugment config {config_str!r} lacks '-inc1': only the "
+            "timm 'increasing' op set is implemented (all reference recipes "
+            "use inc1). Append -inc1 or use a recipe config.")
     return RandAugment(magnitude=magnitude, num_layers=num_layers, mstd=mstd, prob=prob)

@@ -129,6 +129,27 @@ def bn_splits() -> int:
     return _BN_SPLITS
 
 
+_SPLIT_FALLBACK_WARNED = False
+
+
+def _warn_split_fallback(batch: int, splits: int) -> None:
+    """One-time trace-time warning when --split-bn silently falls back to
+    whole-batch statistics because the batch is not divisible by the split
+    count (e.g. an unexpected tail batch). Trace-time is the right place:
+    the shape is static per compilation, so a bad shape warns exactly once
+    per distinct geometry without any in-graph cost."""
+    global _SPLIT_FALLBACK_WARNED
+    if not _SPLIT_FALLBACK_WARNED:
+        _SPLIT_FALLBACK_WARNED = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "--split-bn: batch %d not divisible by %d aug-splits; BatchNorm "
+            "falls back to whole-batch statistics for this shape (timm "
+            "convert_splitbn_model would have rejected the layout).",
+            batch, splits)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm over all axes but the last, torch-compatible semantics.
 
@@ -155,6 +176,8 @@ class BatchNorm(nn.Module):
 
         splits = bn_splits() if not use_running_average else 1
         if splits > 1 and (self.is_initializing() or x.shape[0] % splits):
+            if not self.is_initializing():
+                _warn_split_fallback(x.shape[0], splits)
             splits = 1
 
         if use_running_average:

@@ -55,6 +55,41 @@ GOLDEN = {
 }
 
 
+# Every golden log header (README.MD §2, e.g. :111-116 for mobilenet) resolves
+# the SAME eval data config apart from crop_pct (which the golden command
+# passes on the CLI and GOLDEN records per model):
+GOLDEN_DATA_CFG = dict(
+    input_size=(3, 224, 224),
+    interpolation="bicubic",
+    mean=(0.485, 0.456, 0.406),
+    std=(0.229, 0.224, 0.225),
+    crop_mode="center",
+)
+
+
+def check_data_config(name: str) -> dict:
+    """Offline parity of OUR resolved eval data config vs the golden log
+    header — replicates validate.py's resolution (validate.py:141-148) under
+    the golden command's flags (--crop-pct from GOLDEN, everything else from
+    the model's default cfg). Catches wrong preprocessing before a networked
+    golden run can silently pass/fail with it."""
+    sys.path.insert(0, REPO)
+    from imagenet_models_tpu.core.registry import default_cfg
+
+    cfg = default_cfg(name)
+    resolved = dict(
+        input_size=(3,) + tuple(cfg["input_size"][:2]),
+        interpolation=cfg["interpolation"],
+        mean=tuple(cfg["mean"]),
+        std=tuple(cfg["std"]),
+        crop_mode=cfg.get("crop_mode", "center"),
+    )
+    mismatches = {k: {"ours": resolved[k], "golden": v}
+                  for k, v in GOLDEN_DATA_CFG.items() if resolved[k] != v}
+    return {"model": name, "data_config_ok": not mismatches,
+            "mismatches": mismatches}
+
+
 def checkpoint_search_dirs():
     dirs = []
     env = os.environ.get("IMTPU_PRETRAINED_DIR")
@@ -120,10 +155,27 @@ def run_validate(name: str, ckpt: str, data: str, batch_size: int = 256,
         raise RuntimeError(
             f"validate.py failed for {name}:\n{proc.stdout[-2000:]}"
             f"\n{proc.stderr[-2000:]}")
-    m = re.search(r"--result\n(\{.*\})", proc.stdout, re.DOTALL)
-    if not m:
-        raise RuntimeError(f"no --result JSON in validate output for {name}")
-    return json.loads(m.group(1))
+    return parse_result_json(proc.stdout, name)
+
+
+def parse_result_json(stdout: str, name: str) -> dict:
+    """Extract the --result JSON from validate.py output. The JSON may span
+    lines (json.dumps indent) and trailing log lines may contain '}', so a
+    greedy capture is unsafe: try each '{'-starting candidate after the
+    marker, last complete parse wins."""
+    marker = stdout.rfind("--result")
+    if marker < 0:
+        raise RuntimeError(f"no --result marker in validate output for {name}")
+    tail = stdout[marker:]
+    decoder = json.JSONDecoder()
+    for m in re.finditer(r"\{", tail):
+        try:
+            obj, _ = decoder.raw_decode(tail[m.start():])
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "top1" in obj:
+            return obj  # first complete candidate after the marker IS the result
+    raise RuntimeError(f"no --result JSON in validate output for {name}")
 
 
 def judge(name: str, result: dict, tol: float) -> dict:
@@ -158,6 +210,13 @@ def main(argv=None):
 
     names = [args.model] if args.model else list(GOLDEN)
     verdicts = []
+    cfg_checks = []
+    for name in names:
+        c = check_data_config(name)
+        cfg_checks.append(c)
+        if not c["data_config_ok"]:
+            print(f"[golden_eval] DATA-CONFIG MISMATCH {name}: "
+                  f"{c['mismatches']}", file=sys.stderr)
     for name in names:
         ckpt = resolve_checkpoint(name)
         if ckpt is None and not args.no_download:
@@ -182,14 +241,17 @@ def main(argv=None):
 
     summary = {
         "verdicts": verdicts,
+        "data_config_checks": cfg_checks,
         "n_pass": sum(v["status"] == "PASS" for v in verdicts),
         "n_fail": sum(v["status"] == "FAIL" for v in verdicts),
         "n_skipped": sum(v["status"] == "SKIPPED" for v in verdicts),
+        "n_data_config_mismatch": sum(
+            not c["data_config_ok"] for c in cfg_checks),
     }
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
-    return 1 if summary["n_fail"] else 0
+    return 1 if summary["n_fail"] or summary["n_data_config_mismatch"] else 0
 
 
 if __name__ == "__main__":

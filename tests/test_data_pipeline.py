@@ -100,6 +100,20 @@ def test_randaugment_all_ops_run():
         assert out.size == img.size
 
 
+def test_randaugment_non_inc_refused():
+    # Only the increasing op set is implemented; a non-inc config must fail
+    # loudly instead of silently swapping posterize/solarize math (timm
+    # semantics differ between the two sets).
+    import pytest
+
+    r = rand_augment_transform("rand-m9-mstd0.5-inc1")
+    assert r.magnitude == 9.0 and r.mstd == 0.5
+    with pytest.raises(NotImplementedError, match="inc1"):
+        rand_augment_transform("rand-m9-mstd0.5")
+    with pytest.raises(NotImplementedError, match="inc1"):
+        rand_augment_transform("rand-m9-mstd0.5-inc0")
+
+
 def test_mixup_targets_sum_to_one():
     mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, label_smoothing=0.1, num_classes=10)
     rng = np.random.default_rng(0)

@@ -64,6 +64,29 @@ def test_main_skips_offline_with_command(tmp_path, monkeypatch, capsys):
     assert "SKIPPED" in capsys.readouterr().out
 
 
+def test_parse_result_json_robust():
+    """The --result JSON may be followed by trailing log lines containing
+    '}' (ADVICE r3: the old greedy DOTALL regex corrupted the capture)."""
+    result = {"top1": 83.1, "top5": 96.2, "param_count": 47.83}
+    out = ("noise\n--result\n" + json.dumps(result, indent=4)
+           + "\ntrailing log {with: braces} and }\n{\"not\": \"the result\"}\n")
+    assert golden_eval.parse_result_json(out, "m") == result
+    with pytest.raises(RuntimeError, match="no --result"):
+        golden_eval.parse_result_json("no marker here", "m")
+    with pytest.raises(RuntimeError, match="no --result JSON"):
+        golden_eval.parse_result_json("--result\nnot json {{{", "m")
+
+
+def test_data_config_parity_offline():
+    """Every golden model's resolved eval data config must match the golden
+    log header (README.MD §2: bicubic, ImageNet mean/std, center crop,
+    224 input) — so a future networked golden run can't silently use the
+    wrong preprocessing."""
+    for name in golden_eval.GOLDEN:
+        c = golden_eval.check_data_config(name)
+        assert c["data_config_ok"], (name, c["mismatches"])
+
+
 def test_main_judges_with_fixture_validate(tmp_path, monkeypatch):
     """With a checkpoint present, main() runs validate and judges: one PASS
     (within tol) and one FAIL wired through a stubbed run_validate."""

@@ -330,6 +330,10 @@ def run(args, args_text: str):
         if num_aug_splits <= 1:
             raise ValueError(
                 "--split-bn requires --aug-splits >= 2 (GA/train.py:439)")
+        if args.sync_bn:
+            raise ValueError(
+                "--split-bn and --sync-bn are mutually exclusive "
+                "(GA/train.py:449 'assert not args.split_bn')")
         from imagenet_models_tpu.nn.layers import set_bn_splits
 
         set_bn_splits(max(num_aug_splits, 2))
