@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from imagenet_models_tpu.ops.batch_norm import use_fused_bn as _use_fused_bn
+
 Dtype = Any
 
 # torch nn.GELU defaults to the exact erf formulation; flax defaults to tanh
@@ -207,6 +209,20 @@ class BatchNorm(nn.Module):
             inv = jax.lax.rsqrt(var + self.epsilon) * scale
             y = (xr - mean.reshape(bshape)) * inv.reshape(bshape) + bias
             return y.reshape(x.shape).astype(self.dtype or x.dtype)
+        elif self.axis_name is None and not self.is_initializing() \
+                and _use_fused_bn(x):
+            # fused Pallas statistics (fwd sums + bwd reduces in one pass
+            # each, ops/batch_norm.py) — the XLA convert_reduce BN-stat
+            # fusions run far off the HBM roofline (round-4 profile receipts
+            # in the module docstring); math identical to the branch below
+            from imagenet_models_tpu.ops.batch_norm import bn_train_apply
+
+            y, mean, var = bn_train_apply(x, scale, bias, self.epsilon)
+            n = math.prod(x.shape[:-1])
+            unbiased = var * (n / max(n - 1, 1))
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+            return y.astype(self.dtype or x.dtype)
         else:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))

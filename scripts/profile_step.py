@@ -29,6 +29,9 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--model", default="map_convnext_tiny")
 parser.add_argument("-b", "--batch-size", type=int, default=128)
 parser.add_argument("--eval", action="store_true", help="profile eval fwd only")
+parser.add_argument("--full", action="store_true",
+                    help="profile the real fused train step (fwd+bwd+LAMB"
+                         "+EMA via make_train_step) instead of grad only")
 parser.add_argument("--top", type=int, default=25)
 parser.add_argument("--image-size", type=int, default=224)
 
@@ -58,7 +61,29 @@ def main():
                 tot = tot + jnp.sum(t.astype(jnp.float32) ** 2)
         return tot
 
-    if args.eval:
+    if args.full:
+        # the production step: fwd+bwd+optimizer+EMA in one jit (same
+        # construction as scripts/bench_train.py)
+        from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+        from imagenet_models_tpu.train.losses import create_loss_fn
+        from imagenet_models_tpu.train.optim import create_optimizer
+        from imagenet_models_tpu.train.state import create_train_state, make_train_step
+
+        mesh = data_mesh([jax.devices()[0]])
+        tx = create_optimizer("lamb", learning_rate=5e-3, weight_decay=0.05)
+        tstate = replicate(create_train_state(v, tx, ema_decay=0.9999), mesh)
+        loss_fn = create_loss_fn(bce_loss=True, smoothing=0.1, mixup_active=True)
+        step = make_train_step(model, tx, loss_fn, dec_lam=-0.8,
+                               ema_decay=0.9999, grad_accum=1, mesh=mesh)
+        tgt = jnp.asarray(np.random.default_rng(1).random(
+            (args.batch_size, 1000)), jnp.float32)
+        xs, tgt = shard_batch((x, tgt), mesh)
+        box = [tstate]
+
+        def run():
+            box[0], m = step(box[0], xs, tgt, jax.random.PRNGKey(0))
+            return m["loss"]
+    elif args.eval:
         fn = jax.jit(lambda v, x: flatten_heads(model.apply(v, x, training=False)))
         run = lambda: fn(v, x)
     else:
@@ -98,8 +123,9 @@ def main():
         by_op[name] += ev.duration_ps
         total += ev.duration_ps
 
-    print(f"== {args.model} b={args.batch_size} "
-          f"{'eval' if args.eval else 'train fwd+bwd'}: "
+    mode = ("eval" if args.eval
+            else "train full step" if args.full else "train fwd+bwd")
+    print(f"== {args.model} b={args.batch_size} {mode}: "
           f"{total / 3e9:.2f} ms/step ==")
     print("-- by op kind --")
     for k, ps in by_kind.most_common(args.top):

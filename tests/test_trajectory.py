@@ -132,10 +132,19 @@ def _torch_ce(logits, target):
 
 
 def _run_torch_loop(tmodel, opt, images, targets, base_fn, dec_lam,
-                    ema_decay=0.0):
+                    ema_decay=0.0, grad_accum=1, lr_per_epoch=None,
+                    updates_per_epoch=None):
     """GA/train.py train_one_epoch hot loop (732-761): forward, multi-head
     loss, backward, step, EMA update (ModelEmaV2 semantics: shadow of the full
-    float state_dict, e = d*e + (1-d)*m after each step)."""
+    float state_dict, e = d*e + (1-d)*m after each step).
+
+    grad_accum > 1 follows GA/train.py:750-758: per-microbatch loss divided
+    by the accumulation count, gradients summed across microbatches via
+    repeated backward, ONE optimizer step (and one EMA update) per
+    accumulation group. lr_per_epoch(epoch) emulates timm's per-EPOCH
+    scheduler stepping (lr_scheduler.step(epoch) — LR is constant within an
+    epoch; GA/train.py:681-683): applied to every param group at each epoch
+    boundary, epoch = update_idx // updates_per_epoch."""
     tmodel.train()
     ema = None
     if ema_decay:
@@ -143,19 +152,28 @@ def _run_torch_loop(tmodel, opt, images, targets, base_fn, dec_lam,
                if v.is_floating_point()}
     losses = []
     for i in range(images.shape[0]):
-        x = torch.from_numpy(images[i].transpose(0, 3, 1, 2))
-        t = torch.from_numpy(targets[i])
-        out = tmodel(x)
-        loss = _torch_multi_group_loss(out, t, base_fn, dec_lam)
+        if lr_per_epoch is not None:
+            lr_i = lr_per_epoch(i // updates_per_epoch)
+            for g in opt.param_groups:
+                g["lr"] = lr_i
         opt.zero_grad()
-        loss.backward()
+        micro = images.shape[1] // grad_accum
+        loss_sum = 0.0
+        for a in range(grad_accum):
+            sl = slice(a * micro, (a + 1) * micro)
+            x = torch.from_numpy(images[i, sl].transpose(0, 3, 1, 2))
+            t = torch.from_numpy(targets[i, sl])
+            out = tmodel(x)
+            loss = _torch_multi_group_loss(out, t, base_fn, dec_lam) / grad_accum
+            loss.backward()
+            loss_sum += float(loss.detach())
         opt.step()
         if ema is not None:
             sd = tmodel.state_dict()
             with torch.no_grad():
                 for k in ema:
                     ema[k].mul_(ema_decay).add_(sd[k], alpha=1 - ema_decay)
-        losses.append(float(loss.detach()))
+        losses.append(loss_sum)
     return np.array(losses), ema
 
 
@@ -169,7 +187,7 @@ def _force_exact_gelu(monkeypatch):
 
 
 def _run_jax_loop(name, ckpt, images, targets, base_loss, dec_lam, opt_kwargs,
-                  ema_decay=0.0):
+                  ema_decay=0.0, grad_accum=1):
     model = create_model(name)  # fp32 (dtype default): the torch twin is fp32
     variables = jit_init(model, jax.random.PRNGKey(0),
                          jnp.zeros((1,) + images.shape[2:]), training=False)
@@ -177,7 +195,7 @@ def _run_jax_loop(name, ckpt, images, targets, base_loss, dec_lam, opt_kwargs,
     tx = create_optimizer(**opt_kwargs)
     state = create_train_state(variables, tx, ema_decay=ema_decay)
     step = make_train_step(model, tx, base_loss, dec_lam=dec_lam,
-                           ema_decay=ema_decay, grad_accum=1)
+                           ema_decay=ema_decay, grad_accum=grad_accum)
     losses = []
     for i in range(images.shape[0]):
         state, metrics = step(state, jnp.asarray(images[i]),
@@ -240,7 +258,9 @@ def _compare_final_params(state, name, tmodel, tmp_path, lr, n_steps):
 
 def test_lamb_trajectory_mobilenet(tmp_path, monkeypatch):
     """mobilenet_v1 recipe optimizer: lamb wd=.02, eps default (1e-6), BCE.
-    30 steps, B=8, 128^2, aug off, EMA 0.9."""
+    N_STEPS=15 constant-LR steps, B=8, 128^2, aug off, EMA 0.9 (the 30-step
+    schedule+accum variant of this recipe is test_lamb_trajectory_schedule_
+    accum below)."""
     _force_exact_gelu(monkeypatch)
     mod = timm_stub.import_ref("map_mobilenet")
     tmodel = mod.MobileNetV1(ch_in=3, n_classes=N_CLASSES, use_map=True)
@@ -289,6 +309,69 @@ def test_lamb_trajectory_mobilenet(tmp_path, monkeypatch):
     # budget cap as in _compare_final_params (the EMA shadow can drift at
     # most as far as the raw params it averages)
     assert float(np.max(drifts)) < 2.0 * lr * N_STEPS
+
+
+def test_lamb_trajectory_schedule_accum(tmp_path, monkeypatch):
+    """30 optimizer steps with grad_accum=2 and a cosine+warmup LR schedule
+    stepped timm-style (VERDICT r3 next-#5): pins the two engine surfaces the
+    constant-LR trajectories above do not —
+
+    - accumulation semantics (GA/train.py:750-758): per-microbatch loss / 2,
+      gradients summed over microbatches, ONE optimizer step + ONE EMA update
+      per group (ours: the in-step lax.scan, contiguous microbatch chunks);
+    - schedule counter semantics: train.py wires lr = lr_fn(s // updates_per_
+      epoch) so LR is CONSTANT within an epoch and steps at epoch boundaries,
+      exactly timm's lr_scheduler.step(epoch) (GA/train.py:681-683). The
+      torch twin sets its param-group LR from the verbatim timm
+      CosineLRScheduler math per epoch. A per-update (fractional-epoch)
+      schedule on our side would diverge from step 2 of epoch 0 onward.
+    """
+    _force_exact_gelu(monkeypatch)
+    mod = timm_stub.import_ref("map_mobilenet")
+    tmodel = mod.MobileNetV1(ch_in=3, n_classes=N_CLASSES, use_map=True)
+    torch.manual_seed(0)
+    ckpt = str(tmp_path / "init.pth.tar")
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+
+    base_lr, wd, ema_decay = 5e-3, 0.02, 0.9
+    warmup_t, t_initial, min_lr, warmup_lr = 2, 5, 1e-4, 1e-6
+    n_updates, accum, micro_b = 30, 2, 6
+    updates_per_epoch = 6  # 30 updates = 5 epochs: warmup 0-1, cosine 2-4
+    images, targets = _fixed_batches(n_updates, accum * micro_b, 112, seed=2)
+
+    def timm_cosine_lr(epoch):
+        # verbatim timm CosineLRScheduler._get_lr, warmup_prefix=False,
+        # single cycle — independent reimplementation for the twin
+        import math as _m
+
+        if epoch < warmup_t:
+            return warmup_lr + epoch * (base_lr - warmup_lr) / warmup_t
+        return min_lr + 0.5 * (base_lr - min_lr) * (
+            1 + _m.cos(_m.pi * epoch / t_initial))
+
+    opt = RefLamb(ref_param_groups(tmodel, wd), lr=base_lr, eps=1e-6,
+                  weight_decay=wd)
+    ref_losses, ref_ema = _run_torch_loop(
+        tmodel, opt, images, targets, _torch_bce, dec_lam=0.0,
+        ema_decay=ema_decay, grad_accum=accum, lr_per_epoch=timm_cosine_lr,
+        updates_per_epoch=updates_per_epoch)
+
+    from imagenet_models_tpu.train.scheduler import cosine_schedule
+
+    lr_fn = cosine_schedule(base_lr, epochs=t_initial, warmup_epochs=warmup_t,
+                            warmup_lr=warmup_lr, min_lr=min_lr)
+    base = lambda x, t: binary_cross_entropy(x, t, 0.0)  # noqa: E731
+    our_losses, state = _run_jax_loop(
+        "map_mobilenet_v1", ckpt, images, targets, base, dec_lam=0.0,
+        opt_kwargs=dict(opt="lamb",
+                        # exactly train.py:484's wiring (epoch-stepped LR)
+                        learning_rate=lambda s: lr_fn(s // updates_per_epoch),
+                        weight_decay=wd),
+        ema_decay=ema_decay, grad_accum=accum)
+
+    _assert_loss_series(our_losses, ref_losses)
+    _compare_final_params(state, "map_mobilenet_v1", tmodel, tmp_path,
+                          lr=base_lr, n_steps=n_updates)
 
 
 def test_adamw_trajectory_pit(tmp_path, monkeypatch):
