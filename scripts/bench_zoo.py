@@ -33,12 +33,12 @@ V5E_PEAK_BF16 = 197e12
 #           convention; GA models: GA/README.md:81,84]).
 ZOO = {
     "map_mobilenet_v1": (256, 256, 3734.0, 0.6),
-    "map_resnet50": (256, 128, 2127.0, 5.4),
-    "map_pit_s": (256, 64, 2254.0, 2.6),
+    "map_resnet50": (256, 128, 2127.0, 5.4),  # train B swept: 128=1210, 256=1192
+    "map_pit_s": (256, 128, 2254.0, 2.6),  # train B swept: 64=1926, 128=2199, 256=2005
     "map_convnext_tiny": (256, 128, 1665.0, 4.9),
     "map_convnext_small": (256, 128, 1111.0, 9.2),
-    "map_maxvit_tiny_tf_224": (128, 128, 907.0, 5.8),
-    "map_faster_vit_3_224": (128, 64, 970.0, 18.8),
+    "map_maxvit_tiny_tf_224": (128, 128, 907.0, 5.8),  # train B: 64=438, 128=452, >=192 OOM
+    "map_faster_vit_3_224": (128, 128, 970.0, 18.8),   # train B: 64=602, 128=666
     "ga_convnext_tiny_688": (256, 128, None, 6.3),
     "ga_cswin_tiny": (256, 128, None, 6.1),
 }

@@ -42,7 +42,7 @@ def test_loader_shards_concat_to_global_batch(training):
     ds = _make_dataset()
     if training:
         tf = TrainTransform(32, interpolation="bilinear", hflip=0.5,
-                            auto_augment="rand-m9-mstd0.5", reprob=0.25)
+                            auto_augment="rand-m9-mstd0.5-inc1", reprob=0.25)
     else:
         tf = EvalTransform(32, crop_pct=0.9, interpolation="bilinear")
 
