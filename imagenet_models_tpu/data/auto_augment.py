@@ -143,7 +143,10 @@ def rand_augment_transform(config_str: str) -> RandAugment:
         elif p.startswith("m"):
             magnitude = float(p[1:])
         elif p.startswith("inc"):
-            inc = p[3:] in ("", "1", "true", "True")
+            # timm parses `key, value` with re.split(r'(\d.*)') and skips
+            # digit-less parts, so bare '-inc'/'-incTrue' mean NON-increasing
+            # there; only a nonzero integer value selects the increasing set
+            inc = bool(int(p[3:])) if p[3:].isdigit() else False
         elif p.startswith("n"):
             num_layers = int(p[1:])
         elif p.startswith("p"):

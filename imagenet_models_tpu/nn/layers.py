@@ -131,18 +131,17 @@ def bn_splits() -> int:
     return _BN_SPLITS
 
 
-_SPLIT_FALLBACK_WARNED = False
+_SPLIT_FALLBACK_WARNED: set = set()
 
 
 def _warn_split_fallback(batch: int, splits: int) -> None:
-    """One-time trace-time warning when --split-bn silently falls back to
-    whole-batch statistics because the batch is not divisible by the split
-    count (e.g. an unexpected tail batch). Trace-time is the right place:
-    the shape is static per compilation, so a bad shape warns exactly once
-    per distinct geometry without any in-graph cost."""
-    global _SPLIT_FALLBACK_WARNED
-    if not _SPLIT_FALLBACK_WARNED:
-        _SPLIT_FALLBACK_WARNED = True
+    """Trace-time warning when --split-bn silently falls back to whole-batch
+    statistics because the batch is not divisible by the split count (e.g.
+    an unexpected tail batch). Trace-time is the right place: the shape is
+    static per compilation, so each bad geometry warns exactly once with no
+    in-graph cost."""
+    if (batch, splits) not in _SPLIT_FALLBACK_WARNED:
+        _SPLIT_FALLBACK_WARNED.add((batch, splits))
         import logging
 
         logging.getLogger(__name__).warning(
@@ -217,12 +216,13 @@ class BatchNorm(nn.Module):
             # in the module docstring); math identical to the branch below
             from imagenet_models_tpu.ops.batch_norm import bn_train_apply
 
-            y, mean, var = bn_train_apply(x, scale, bias, self.epsilon)
+            y, mean, var = bn_train_apply(x, scale, bias, self.epsilon,
+                                          out_dtype=self.dtype or x.dtype)
             n = math.prod(x.shape[:-1])
             unbiased = var * (n / max(n - 1, 1))
             ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
-            return y.astype(self.dtype or x.dtype)
+            return y
         else:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))

@@ -155,17 +155,18 @@ def _n_rows(x) -> int:
     return n
 
 
-def plain_bn_train(x, scale, bias, eps):
+def plain_bn_train(x, scale, bias, eps, out_dtype=None):
     """Reference formulation (identical math to the pre-round-4
     nn/layers.BatchNorm training branch): fp32 one-pass E[x^2]-E[x]^2 stats,
-    fp32 normalize, cast back. Returns (y, mean, var[biased])."""
+    fp32 normalize, ONE cast to out_dtype (default x.dtype). Returns
+    (y, mean, var[biased])."""
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(xf, axis=axes)
     mean2 = jnp.mean(jnp.square(xf), axis=axes)
     var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps) * scale
-    y = ((xf - mean) * inv + bias).astype(x.dtype)
+    y = ((xf - mean) * inv + bias).astype(out_dtype or x.dtype)
     return y, mean, var
 
 
@@ -177,13 +178,13 @@ def plain_bn_train(x, scale, bias, eps):
 _PALLAS_BN_MODE = os.environ.get("IMTPU_PALLAS_BN", "0")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_bn_train(x, scale, bias, eps):
-    y, mean, var, _ = _fused_fwd_impl(x, scale, bias, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_bn_train(x, scale, bias, eps, out_dtype=None):
+    y, mean, var, _ = _fused_fwd_impl(x, scale, bias, eps, out_dtype)
     return y, mean, var
 
 
-def _fused_fwd_impl(x, scale, bias, eps):
+def _fused_fwd_impl(x, scale, bias, eps, out_dtype=None):
     n = _n_rows(x)
     if _PALLAS_BN_MODE in ("1", "full"):
         s1, s2 = channel_moments(x)
@@ -196,16 +197,17 @@ def _fused_fwd_impl(x, scale, bias, eps):
         var = jnp.maximum(jnp.mean(jnp.square(xf32), axis=axes)
                           - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x.astype(jnp.float32) - mean) * (inv * scale) + bias).astype(x.dtype)
+    y = ((x.astype(jnp.float32) - mean) * (inv * scale) + bias).astype(
+        out_dtype or x.dtype)
     return y, mean, var, inv
 
 
-def _fused_fwd(x, scale, bias, eps):
-    y, mean, var, inv = _fused_fwd_impl(x, scale, bias, eps)
+def _fused_fwd(x, scale, bias, eps, out_dtype):
+    y, mean, var, inv = _fused_fwd_impl(x, scale, bias, eps, out_dtype)
     return (y, mean, var), (x, scale, mean, inv)
 
 
-def _fused_bwd(eps, res, cts):
+def _fused_bwd(eps, out_dtype, res, cts):
     """Batch-statistics BN backward with the two per-channel reductions
     (sum dy, sum dy*x) fused into one Pallas pass:
 
@@ -237,6 +239,10 @@ def use_fused_bn(x) -> bool:
     """Gate: 4-D activations big enough for the reduction to matter, with a
     tileable row count. SyncBN/split-BN callers must not route here (the
     stats kernel has no axis_name hook)."""
+    if _PALLAS_BN_MODE not in ("0", "1", "full", "bwd"):
+        raise ValueError(
+            f"IMTPU_PALLAS_BN={_PALLAS_BN_MODE!r}: expected 0 (off, default)"
+            ", 1/full (Pallas fwd stats + bwd reduces) or bwd (bwd only)")
     if _PALLAS_BN_MODE == "0" or x.ndim != 4 \
             or x.dtype not in (jnp.bfloat16, jnp.float32):
         return False
@@ -246,11 +252,12 @@ def use_fused_bn(x) -> bool:
     return _fit_tile(_tile_for(n, x.shape[-1]), n) >= 64
 
 
-def bn_train_apply(x, scale, bias, eps):
-    """(y, mean, var[biased]) with training batch statistics; Pallas fused
-    reductions on TPU, plain ops elsewhere (identical math both ways)."""
+def bn_train_apply(x, scale, bias, eps, out_dtype=None):
+    """(y, mean, var[biased]) with training batch statistics, y cast ONCE to
+    out_dtype (default x.dtype); Pallas fused reductions on TPU, plain ops
+    elsewhere (identical math both ways)."""
     return jax.lax.platform_dependent(
         x, scale, bias,
-        cpu=functools.partial(plain_bn_train, eps=eps),
-        default=functools.partial(fused_bn_train, eps=eps),
+        cpu=functools.partial(plain_bn_train, eps=eps, out_dtype=out_dtype),
+        default=functools.partial(fused_bn_train, eps=eps, out_dtype=out_dtype),
     )

@@ -64,26 +64,12 @@ def bench_eval(name, bs, jax, jnp, create_model):
 
 
 def bench_train(name, bs, jax, jnp, create_model):
-    """Same path as scripts/bench_train.py: full fused train step (fwd + bwd
-    + LAMB update + EMA) on the production recipe shapes."""
-    from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
-    from imagenet_models_tpu.train.losses import create_loss_fn
-    from imagenet_models_tpu.train.optim import create_optimizer
-    from imagenet_models_tpu.train.state import create_train_state, make_train_step
+    """Same harness as scripts/bench_train.py: full fused train step (fwd +
+    bwd + LAMB update + EMA) on the production recipe shapes (shared
+    construction in utils/benchkit.py)."""
+    from imagenet_models_tpu.utils.benchkit import build_bench_train_step
 
-    mesh = data_mesh([jax.devices()[0]])
-    model = create_model(name, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    variables = jax.jit(lambda r, x: model.init(r, x, training=False))(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
-    tx = create_optimizer("lamb", learning_rate=5e-3, weight_decay=0.05)
-    tstate = replicate(create_train_state(variables, tx, ema_decay=0.9999), mesh)
-    loss_fn = create_loss_fn(bce_loss=True, smoothing=0.1, mixup_active=True)
-    step = make_train_step(model, tx, loss_fn, dec_lam=-0.8, ema_decay=0.9999,
-                           grad_accum=1, mesh=mesh)
-    timg = jnp.asarray(rng.standard_normal((bs, 224, 224, 3)), jnp.float32)
-    ttgt = jnp.asarray(rng.random((bs, 1000)), jnp.float32)
-    timg, ttgt = shard_batch((timg, ttgt), mesh)
+    step, tstate, timg, ttgt = build_bench_train_step(name, bs)
     tstate, m = step(tstate, timg, ttgt, jax.random.PRNGKey(0))
     _ = float(np.asarray(m["loss"]))
     iters = 15

@@ -74,8 +74,14 @@ def check_data_config(name: str) -> dict:
     the model's default cfg). Catches wrong preprocessing before a networked
     golden run can silently pass/fail with it."""
     sys.path.insert(0, REPO)
-    from imagenet_models_tpu.core.registry import default_cfg
+    # importing the model modules is what populates the per-model cfgs —
+    # without it default_cfg silently returns the base dict for every name
+    # and this check is vacuous
+    import imagenet_models_tpu.models  # noqa: F401
+    from imagenet_models_tpu.core.registry import default_cfg, list_models
 
+    if name not in list_models():
+        raise KeyError(f"{name} is not in the model registry")
     cfg = default_cfg(name)
     resolved = dict(
         input_size=(3,) + tuple(cfg["input_size"][:2]),
@@ -161,8 +167,8 @@ def run_validate(name: str, ckpt: str, data: str, batch_size: int = 256,
 def parse_result_json(stdout: str, name: str) -> dict:
     """Extract the --result JSON from validate.py output. The JSON may span
     lines (json.dumps indent) and trailing log lines may contain '}', so a
-    greedy capture is unsafe: try each '{'-starting candidate after the
-    marker, last complete parse wins."""
+    greedy capture is unsafe: after the LAST '--result' marker, the first
+    completely-parsing dict that carries 'top1' is the result."""
     marker = stdout.rfind("--result")
     if marker < 0:
         raise RuntimeError(f"no --result marker in validate output for {name}")

@@ -62,22 +62,12 @@ def main():
         return tot
 
     if args.full:
-        # the production step: fwd+bwd+optimizer+EMA in one jit (same
-        # construction as scripts/bench_train.py)
-        from imagenet_models_tpu.parallel.mesh import data_mesh, replicate, shard_batch
-        from imagenet_models_tpu.train.losses import create_loss_fn
-        from imagenet_models_tpu.train.optim import create_optimizer
-        from imagenet_models_tpu.train.state import create_train_state, make_train_step
+        # the production step: fwd+bwd+optimizer+EMA in one jit (shared
+        # construction with bench_train/bench_zoo, utils/benchkit.py)
+        from imagenet_models_tpu.utils.benchkit import build_bench_train_step
 
-        mesh = data_mesh([jax.devices()[0]])
-        tx = create_optimizer("lamb", learning_rate=5e-3, weight_decay=0.05)
-        tstate = replicate(create_train_state(v, tx, ema_decay=0.9999), mesh)
-        loss_fn = create_loss_fn(bce_loss=True, smoothing=0.1, mixup_active=True)
-        step = make_train_step(model, tx, loss_fn, dec_lam=-0.8,
-                               ema_decay=0.9999, grad_accum=1, mesh=mesh)
-        tgt = jnp.asarray(np.random.default_rng(1).random(
-            (args.batch_size, 1000)), jnp.float32)
-        xs, tgt = shard_batch((x, tgt), mesh)
+        step, tstate, xs, tgt = build_bench_train_step(
+            args.model, args.batch_size, image_size=s)
         box = [tstate]
 
         def run():

@@ -108,10 +108,12 @@ def test_randaugment_non_inc_refused():
 
     r = rand_augment_transform("rand-m9-mstd0.5-inc1")
     assert r.magnitude == 9.0 and r.mstd == 0.5
-    with pytest.raises(NotImplementedError, match="inc1"):
-        rand_augment_transform("rand-m9-mstd0.5")
-    with pytest.raises(NotImplementedError, match="inc1"):
-        rand_augment_transform("rand-m9-mstd0.5-inc0")
+    for cfg in ("rand-m9-mstd0.5", "rand-m9-mstd0.5-inc0",
+                # timm skips digit-less parts, so bare -inc / -incTrue are
+                # NON-increasing there and must refuse here too
+                "rand-m9-mstd0.5-inc", "rand-m9-mstd0.5-incTrue"):
+        with pytest.raises(NotImplementedError, match="inc1"):
+            rand_augment_transform(cfg)
 
 
 def test_mixup_targets_sum_to_one():

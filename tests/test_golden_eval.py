@@ -85,6 +85,14 @@ def test_data_config_parity_offline():
     for name in golden_eval.GOLDEN:
         c = golden_eval.check_data_config(name)
         assert c["data_config_ok"], (name, c["mismatches"])
+    # the check must actually read the POPULATED registry (not the base
+    # fallback — an unknown name must fail loudly, and a per-model override
+    # must be visible)
+    with pytest.raises(KeyError):
+        golden_eval.check_data_config("map_not_a_model")
+    from imagenet_models_tpu.core.registry import default_cfg
+
+    assert default_cfg("map_faster_vit_3_224")["crop_pct"] == 1.0  # != base .875
 
 
 def test_main_judges_with_fixture_validate(tmp_path, monkeypatch):
