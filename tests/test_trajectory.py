@@ -374,6 +374,50 @@ def test_lamb_trajectory_schedule_accum(tmp_path, monkeypatch):
                           lr=base_lr, n_steps=n_updates)
 
 
+def test_lamb_trajectory_resnet(tmp_path, monkeypatch):
+    """map_resnet50 recipe optimizer: lamb wd=.02 (train_with_script.py
+    resnet50 row), BCE base, self-distill pairs + decorrelation
+    dec_lam=-0.8. 12 steps, B=8, 128^2 (resolution-agnostic), EMA 0.9.
+
+    Third engine recipe, chosen for what mobilenet/pit do NOT cover
+    together: a deep CNN with per-stage BatchNorm chains, SE gating and the
+    deep stem — the BN-family gradient path (batch-stat normalize backward,
+    running-stat updates under the fused step) through the full MAP
+    multi-group loss."""
+    _force_exact_gelu(monkeypatch)
+    mod = timm_stub.import_ref("map_resnet")
+    torch.manual_seed(0)
+    tmodel = mod.MAP_ResNet(nblock=[3, 4, 6, 3], channels=[64, 128, 256, 256],
+                            pool_type="map", last_dim=384, n_groups=4,
+                            n_tokens=4, gram_group=32, se=True,
+                            stem_type="deep", token_distill=True)
+    tmodel.pool_type = "mmcap"  # reference routing-key mismatch, see
+    # tests/test_ckpt_interchange.py::_build_resnet
+
+    ckpt = str(tmp_path / "init.pth.tar")
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+
+    lr, wd, ema_decay = 5e-3, 0.02, 0.9
+    n_steps = 12
+    images, targets = _fixed_batches(n_steps, 8, 128, seed=3)
+
+    opt = RefLamb(ref_param_groups(tmodel, wd), lr=lr, eps=1e-6,
+                  weight_decay=wd)
+    ref_losses, _ = _run_torch_loop(
+        tmodel, opt, images, targets, _torch_bce, dec_lam=-0.8,
+        ema_decay=ema_decay)
+
+    base = lambda x, t: binary_cross_entropy(x, t, 0.0)  # noqa: E731
+    our_losses, state = _run_jax_loop(
+        "map_resnet50", ckpt, images, targets, base, dec_lam=-0.8,
+        opt_kwargs=dict(opt="lamb", learning_rate=lr, weight_decay=wd),
+        ema_decay=ema_decay)
+
+    _assert_loss_series(our_losses, ref_losses)
+    _compare_final_params(state, "map_resnet50", tmodel, tmp_path,
+                          lr=lr, n_steps=n_steps)
+
+
 def test_adamw_trajectory_pit(tmp_path, monkeypatch):
     """pit_s recipe optimizer: adamw wd=.05, eps default 1e-8, CE base,
     self-distill pairs + decorrelation dec_lam=-0.8. 20 steps, B=4, 224^2."""
