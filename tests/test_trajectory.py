@@ -418,6 +418,49 @@ def test_lamb_trajectory_resnet(tmp_path, monkeypatch):
                           lr=lr, n_steps=n_steps)
 
 
+def test_lamb_trajectory_ga_convnext(tmp_path, monkeypatch):
+    """GA recipe (GA/README.md:21-40 / BASELINE.md): LAMB wd=.05, BCE with
+    smoothing .1, decorrelation GA_lam=-0.8 over the three plain branch
+    outputs (GA/train.py:735-746 — NOT the MAP (org,avg) pairs). Fourth
+    engine recipe; on the TPU suite this additionally drives the Pallas
+    fused LN+MLP kernel's custom backward through a real optimizer
+    trajectory (the CPU suite takes the plain-ops branch)."""
+    _force_exact_gelu(monkeypatch)
+    mod = timm_stub.import_ref("ga_convnext")
+    torch.manual_seed(0)
+    tmodel = mod.ga_convnext_tiny_688()
+
+    ckpt = str(tmp_path / "init.pth.tar")
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+
+    lr, wd, smoothing = 5e-3, 0.05, 0.1
+    # 224 is required: the GA multi-scale concat (ga_convnext.py:482
+    # avg_pool/upsample taps) hard-codes the 224-input stage geometry
+    n_steps = 10
+    images, targets = _fixed_batches(n_steps, 8, 224, seed=4)
+
+    def _torch_bce_smooth(logits, target):
+        # timm BinaryCrossEntropy smoothing: off = s/C, on = 1 - s + off
+        off = smoothing / N_CLASSES
+        dense = torch.full((target.shape[0], N_CLASSES), off)
+        dense[torch.arange(target.shape[0]), target] = 1.0 - smoothing + off
+        return F.binary_cross_entropy_with_logits(logits, dense)
+
+    opt = RefLamb(ref_param_groups(tmodel, wd), lr=lr, eps=1e-6,
+                  weight_decay=wd)
+    ref_losses, _ = _run_torch_loop(
+        tmodel, opt, images, targets, _torch_bce_smooth, dec_lam=-0.8)
+
+    base = lambda x, t: binary_cross_entropy(x, t, smoothing)  # noqa: E731
+    our_losses, state = _run_jax_loop(
+        "ga_convnext_tiny_688", ckpt, images, targets, base, dec_lam=-0.8,
+        opt_kwargs=dict(opt="lamb", learning_rate=lr, weight_decay=wd))
+
+    _assert_loss_series(our_losses, ref_losses)
+    _compare_final_params(state, "ga_convnext_tiny_688", tmodel, tmp_path,
+                          lr=lr, n_steps=n_steps)
+
+
 def test_adamw_trajectory_pit(tmp_path, monkeypatch):
     """pit_s recipe optimizer: adamw wd=.05, eps default 1e-8, CE base,
     self-distill pairs + decorrelation dec_lam=-0.8. 20 steps, B=4, 224^2."""
