@@ -323,13 +323,15 @@ def _fit_tile(t: int, n: int) -> int:
     return t
 
 
-def _fwd_tile(n: int, c: int, hidden: int) -> int:
+def _fwd_tile(n: int, c: int, hidden: int, itemsize: int = 2) -> int:
     """Forward token tile sized against scoped VMEM: bigger tiles amortize
     per-grid-step overhead for small C (stage 1 is 4x the tokens of stage 3
-    at 1/16th the per-token VMEM)."""
+    at 1/16th the per-token VMEM). itemsize = activation dtype bytes (2 for
+    the bf16 production path; 4 when the fp32 trajectory/parity tests drive
+    the kernel)."""
     budget = 72 << 20
-    fixed = 2 * (2 * c * hidden * 2)  # w1/w2 bf16, double-buffered
-    per_tok = hidden * (4 + 2) + c * (4 * 3 + 2 * 4)
+    fixed = 2 * (2 * c * hidden * itemsize)  # w1/w2 in h.dtype, double-buffered
+    per_tok = hidden * (4 + itemsize) + c * (4 * 3 + itemsize * 4)
     cap = (budget - fixed) // max(per_tok, 1)
     # an explicit env value is honored (down to the 8-sublane floor)
     t = max(8, min(int(os.environ.get("IMTPU_LNMLP_TILE", "8192")), max(256, cap)))
@@ -341,7 +343,7 @@ def _fused_ln_mlp_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, eps: float = 1e-6
     b, hh, ww, c = h.shape
     n = b * hh * ww
     hidden = w1.shape[-1]
-    tile = _fwd_tile(n, c, hidden)
+    tile = _fwd_tile(n, c, hidden, jnp.dtype(h.dtype).itemsize)
     tokens = h.reshape(n, c)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -451,17 +453,19 @@ def _bwd_kernel(h_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     dgamma_ref[:] += dgamma_p
 
 
-def _bwd_tile(n: int, c: int, hidden: int) -> int:
+def _bwd_tile(n: int, c: int, hidden: int, itemsize: int = 2) -> int:
     """Token tile for the backward kernel, sized against scoped VMEM.
 
-    Fixed residents (double-buffered by the pipeline): w1/w2 in bf16 and
+    Fixed residents (double-buffered by the pipeline): w1/w2 in h.dtype and
     dw1/dw2 in fp32. Per-token: three fp32 (T, hidden) intermediates
-    (pre1, gelu'd, dhmid) + bf16 copies, several fp32 (T, C) temporaries and
-    the double-buffered h/g/dx tiles. Estimated against the 100MB scoped
-    limit with ~12% headroom (v5e VMEM is 128MB/core)."""
+    (pre1, gelu'd, dhmid) + h.dtype copies, several fp32 (T, C) temporaries
+    and the double-buffered h/g/dx tiles. Estimated against the 100MB scoped
+    limit with ~12% headroom (v5e VMEM is 128MB/core). itemsize must follow
+    the activation dtype — the fp32 trajectory tests blew the limit by 14.6M
+    when this assumed bf16 (round 4)."""
     budget = 88 << 20
-    fixed = 2 * (2 * c * hidden * 2) + 2 * (2 * c * hidden * 4)
-    per_tok = hidden * (4 * 3 + 2 * 2) + c * (4 * 8 + 2 * 6)
+    fixed = 2 * (2 * c * hidden * itemsize) + 2 * (2 * c * hidden * 4)
+    per_tok = hidden * (4 * 3 + itemsize * 2) + c * (4 * 8 + itemsize * 6)
     cap = (budget - fixed) // max(per_tok, 1)
     t = max(64, min(int(os.environ.get("IMTPU_LNMLP_BWD_TILE", "1024")), cap))
     return _fit_tile(t, n)
@@ -472,7 +476,7 @@ def _fused_ln_mlp_bwd_pallas(h, ln_s, ln_b, w1, b1, w2, b2, gamma, g,
     b, hh, ww, cc = h.shape
     n = b * hh * ww
     hidden = w1.shape[-1]
-    tile = _bwd_tile(n, cc, hidden)
+    tile = _bwd_tile(n, cc, hidden, jnp.dtype(h.dtype).itemsize)
     tokens = h.reshape(n, cc)
     gflat = g.reshape(n, cc)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
