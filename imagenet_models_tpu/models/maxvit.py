@@ -34,6 +34,7 @@ from imagenet_models_tpu.nn.layers import (
     LayerNorm,
     Mlp,
     gelu,
+    resolve_act,
     trunc_normal_init,
 )
 from imagenet_models_tpu.ops.window_attention import (
@@ -63,7 +64,10 @@ class BNAct(nn.Module):
     def __call__(self, x, *, training: bool = False):
         x = BatchNorm(epsilon=self.eps, dtype=self.dtype, name="bn")(
             x, use_running_average=not training)
-        return gelu(x) if self.apply_act else x
+        if not self.apply_act:
+            return x
+        # training-mode fast GELU (nn.layers.resolve_act); eval = exact erf
+        return resolve_act(gelu, not training)(x)
 
 
 class MbConvBlock(nn.Module):

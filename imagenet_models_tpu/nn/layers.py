@@ -374,7 +374,9 @@ class ConvNormAct(nn.Module):
         )(x)
         x = BatchNorm(dtype=self.dtype, name="bn")(x, use_running_average=use_running_average)
         if self.act is not None:
-            x = self.act(x)
+            # training-mode fast GELU (the same measured swap as Mlp /
+            # GroupConvMlp); eval keeps exact erf — checkpoint contract
+            x = resolve_act(self.act, use_running_average)(x)
         return x
 
 
