@@ -34,6 +34,7 @@ from imagenet_models_tpu.nn.layers import (
     LayerNorm,
     Mlp,
     gelu,
+    resolve_act,
     trunc_normal_init,
 )
 
@@ -193,7 +194,8 @@ class ConvBlock(nn.Module):
         h = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                     dtype=self.dtype, kernel_init=trunc_normal_init(), name="conv1")(x)
         h = BatchNorm(dtype=self.dtype, name="norm1")(h, use_running_average=ura)
-        h = gelu(h)
+        # training-mode fast GELU (nn.layers.resolve_act); eval = exact erf
+        h = resolve_act(gelu, ura)(h)
         h = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                     dtype=self.dtype, kernel_init=trunc_normal_init(), name="conv2")(h)
         h = BatchNorm(dtype=self.dtype, name="norm2")(h, use_running_average=ura)
