@@ -145,8 +145,10 @@ def rand_augment_transform(config_str: str) -> RandAugment:
         elif p.startswith("inc"):
             # timm parses `key, value` with re.split(r'(\d.*)') and skips
             # digit-less parts, so bare '-inc'/'-incTrue' mean NON-increasing
-            # there; only a nonzero integer value selects the increasing set
-            inc = bool(int(p[3:])) if p[3:].isdigit() else False
+            # there; any digit-carrying value (including '-inc0'!) hits
+            # `bool(val)` on the non-empty STRING, which is True — so every
+            # `-inc<digit...>` selects the increasing set in timm
+            inc = p[3:3 + 1].isdigit()
         elif p.startswith("n"):
             num_layers = int(p[1:])
         elif p.startswith("p"):

@@ -249,7 +249,17 @@ def use_fused_bn(x) -> bool:
     n = _n_rows(x)
     if n * x.shape[-1] < (1 << 18):  # tiny tensors: dispatch floor dominates
         return False
-    return _fit_tile(_tile_for(n, x.shape[-1]), n) >= 64
+    tile = _fit_tile(_tile_for(n, x.shape[-1]), n)
+    if tile < 64:
+        return False
+    # _fit_tile falls back to t=n for awkward row counts (large prime
+    # factors) — that stages the whole (n, C) tensor as ONE block; reject
+    # any resolved tile whose double-buffered block + fp32 temporaries
+    # would blow the scoped-VMEM limit instead of failing to compile.
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if tile * x.shape[-1] * (2 * itemsize + 3 * 4) > (48 << 20):
+        return False
+    return True
 
 
 def bn_train_apply(x, scale, bias, eps, out_dtype=None):

@@ -108,7 +108,11 @@ def test_randaugment_non_inc_refused():
 
     r = rand_augment_transform("rand-m9-mstd0.5-inc1")
     assert r.magnitude == 9.0 and r.mstd == 0.5
-    for cfg in ("rand-m9-mstd0.5", "rand-m9-mstd0.5-inc0",
+    # timm's parser does bool(val) on the value STRING, so ANY digit-carrying
+    # -inc value — including -inc0 — selects the increasing set there.
+    r0 = rand_augment_transform("rand-m9-mstd0.5-inc0")
+    assert r0.magnitude == 9.0 and r0.mstd == 0.5
+    for cfg in ("rand-m9-mstd0.5",
                 # timm skips digit-less parts, so bare -inc / -incTrue are
                 # NON-increasing there and must refuse here too
                 "rand-m9-mstd0.5-inc", "rand-m9-mstd0.5-incTrue"):

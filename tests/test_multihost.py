@@ -134,6 +134,7 @@ def _single_process_reference(nprocs: int = 2):
     return float(metrics["loss"]), float(res["top1"]), float(res["top5"]), utop1
 
 
+@pytest.mark.slow
 def test_two_process_train_cli(tmp_path):
     """The full train.py CLI across 2 processes: --dist-coordinator wiring,
     run-name broadcast, process-sharded loaders, globally-reduced eval, and
@@ -165,6 +166,7 @@ def test_two_process_train_cli(tmp_path):
     assert (run / "last").is_dir() and (run / "summary.csv").exists()
 
 
+@pytest.mark.slow
 def test_two_process_run_matches_single_process(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -217,6 +219,7 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert outs[0]["loss"] == outs[1]["loss"]
 
 
+@pytest.mark.slow
 def test_four_process_run_uneven_eval_and_preemption(tmp_path):
     """World=4 (VERDICT r2 weak #6): 4 processes x 2 devices. Covers the
     >2-host shard arithmetic — an uneven eval tail (last process holds half

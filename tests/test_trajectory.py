@@ -23,6 +23,11 @@ train_with_script.py pit_s row).
 import numpy as np
 import pytest
 
+# These multi-step torch-vs-jax twins are the suite's long pole (5-20 min
+# each); `-m "not slow"` gives the fast iteration tier, the default full run
+# keeps them as the fidelity gate.
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
