@@ -41,6 +41,7 @@ from imagenet_models_tpu.ops.window_attention import (
     AttentionCl,
     grid_partition,
     grid_reverse,
+    use_fused_partition_attn,
     window_partition,
     window_reverse,
 )
@@ -137,12 +138,23 @@ class PartitionAttention(nn.Module):
         hw = x.shape[1:3]
         ps = self.partition_size
         n1 = LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="norm1")(x)
-        part = window_partition(n1, ps) if self.partition_type == "block" else grid_partition(n1, ps)
-        part = AttentionCl(self.dim, self.dim, dim_head=self.dim_head,
-                           rel_pos_type=self.rel_pos_type, window_size=ps,
-                           attn_drop=self.attn_drop, proj_drop=self.proj_drop,
-                           dtype=self.dtype, name="attn")(part, deterministic=det)
-        a = window_reverse(part, ps, hw) if self.partition_type == "block" else grid_reverse(part, ps, hw)
+        if use_fused_partition_attn(n1.shape, ps, self.partition_type,
+                                    self.attn_drop, det):
+            # partition-free packed Pallas attention: the window/grid
+            # relayout copies (45.6 ms/step in the r4 trace) move into the
+            # kernel's VMEM shuffles; same params, same math.
+            a = AttentionCl(self.dim, self.dim, dim_head=self.dim_head,
+                            rel_pos_type=self.rel_pos_type, window_size=ps,
+                            attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                            partition=(self.partition_type, ps),
+                            dtype=self.dtype, name="attn")(n1, deterministic=det)
+        else:
+            part = window_partition(n1, ps) if self.partition_type == "block" else grid_partition(n1, ps)
+            part = AttentionCl(self.dim, self.dim, dim_head=self.dim_head,
+                               rel_pos_type=self.rel_pos_type, window_size=ps,
+                               attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                               dtype=self.dtype, name="attn")(part, deterministic=det)
+            a = window_reverse(part, ps, hw) if self.partition_type == "block" else grid_reverse(part, ps, hw)
         dp = DropPath(self.drop_path)
         x = x + dp(a, deterministic=det)
         m = Mlp(hidden_features=int(self.dim * self.expand_ratio), act=gelu,

@@ -123,11 +123,39 @@ class RelPosBias(nn.Module):
         return bias.transpose(2, 0, 1)
 
 
+def use_fused_partition_attn(x_shape, ps, part_type: str, attn_drop: float,
+                             deterministic: bool) -> bool:
+    """Gate for the partition-free packed Pallas attention
+    (ops/partition_attention.py): on by default for block windows (CPU falls
+    back to the plain twin via platform dispatch inside the op);
+    IMTPU_PART_ATTN=xla restores the partition->AttentionCl->reverse
+    composition. The dilated grid keeps the XLA path (strided window
+    columns — see the op's docstring); softmax dropout would need in-kernel
+    RNG; a single-window image (stage 3) has a metadata-only partition XLA
+    already elides; oversized strips would blow the VMEM block."""
+    if os.environ.get("IMTPU_PART_ATTN", "fused") == "xla":
+        return False
+    if part_type != "block":
+        return False
+    if attn_drop > 0 and not deterministic:
+        return False
+    h, w, c = x_shape[1], x_shape[2], x_shape[3]
+    if h % ps[0] or w % ps[1] or (h == ps[0] and w == ps[1]):
+        return False
+    return ps[0] * w * 3 * c * 2 <= (4 << 20)
+
+
 class AttentionCl(nn.Module):
     """Channels-last MHSA over the trailing token grid, optional rel-pos bias
     (map_maxvit.py:182-251). `head_first=False` layout semantics are only
     relevant to the torch qkv weight ordering; we reshape identically so the
-    converter is a plain transpose."""
+    converter is a plain transpose.
+
+    With `partition` set ("block"|"grid", (th, tw)), x is the UNPARTITIONED
+    (B, H, W, C) map and the window partition + attention + reverse run as
+    one fused Pallas op (the per-token qkv/proj projections commute with the
+    partition, so applying them unpartitioned is the same math — parity:
+    tests/test_partition_attention.py)."""
 
     dim: int
     dim_out: Optional[int] = None
@@ -137,6 +165,7 @@ class AttentionCl(nn.Module):
     window_size: Optional[Tuple[int, int]] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    partition: Optional[Tuple[str, Tuple[int, int]]] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -158,6 +187,26 @@ class AttentionCl(nn.Module):
             bias = RelPosBiasTf(self.window_size, nh, name="rel_pos")()
         elif self.rel_pos_type == "bias":
             bias = RelPosBias(self.window_size, nh, name="rel_pos")()
+
+        if self.partition is not None:
+            from imagenet_models_tpu.ops.partition_attention import (
+                partition_attention,
+            )
+
+            part_type, ps = self.partition
+            if bias is None:
+                bias = jnp.zeros((nh, ps[0] * ps[1], ps[0] * ps[1]),
+                                 jnp.float32)
+            # pre-scale q through the qkv output (fuses into the Dense)
+            scale = jnp.concatenate([
+                jnp.full((dim_attn,), d ** -0.5, jnp.float32),
+                jnp.ones((2 * dim_attn,), jnp.float32)])
+            out = partition_attention(qkv * scale.astype(qkv.dtype), bias,
+                                      part_type=part_type, ps=ps,
+                                      num_heads=nh)
+            out = Dense(dim_out, use_bias=self.bias, dtype=self.dtype,
+                        name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
         if os.environ.get("IMTPU_QKV_SPLIT", "slice") == "slice" and \
                 not os.environ.get("IMTPU_FLASH_ATTN", "0") == "1":
