@@ -1,4 +1,4 @@
-"""Partition-free packed window attention for TPU (MaxViT block geometry).
+"""Partition-free packed window/grid attention for TPU (MaxViT geometry).
 
 The reference's MaxViT attention (/root/reference/MAP/models/map_maxvit.py:
 611-644 window/grid partition, :658-719 PartitionAttentionCl) reorders the
@@ -7,30 +7,34 @@ attention — in XLA those partition/reverse transposes are HBM round-trip
 copies; the r4 full-step trace charged 45.6 ms/step (16%) to them, and the
 49-token windows underfill the 128-row MXU tile besides.
 
-This kernel removes both costs for the block-window case:
+This kernel removes both costs. Three moves:
 
-1. **Free 5-D view, legal blocks.** The (B, H, W, 3C) qkv tensor is viewed
-   as (B, H/th, th, W, 3C) (a pure row-major split — no data movement); a
-   BlockSpec whose last two dims are FULL array dims (always legal on TPU)
-   hands the kernel one window-row strip (th, W, 3C) per image per step.
-   The partition never touches HBM.
+1. **Free N-D views, legal blocks.** The (B, H, W, 3C) qkv tensor is viewed
+   (pure row-major splits — no data movement) as
+     block: (B, H/th, th, W, 3C)        — one window-row strip per step
+     grid:  (B, th, H/th, tw, W/tw, 3C) — one dilated window-row per step
+   so a BlockSpec whose last two dims are FULL array dims (always legal on
+   TPU) hands the kernel every window of the strip with only leading-dim
+   indexing. The partition never touches HBM. For the grid case one
+   in-VMEM transpose (a,b,rr,c)->(a,rr,b,c) makes each dilated window's
+   tokens contiguous.
 2. **Interleaved packing.** P=2 adjacent windows are packed per score
-   matrix (98 rows -> one 128-row MXU tile instead of two half-empty ones).
-   The packed rows are gathered in-VMEM as th sublane slices of the strip
-   (`jnp.concatenate` — vector shuffles, not HBM copies), which leaves
-   tokens window-INTERLEAVED: rather than shuffling data into window-major
-   order, the packed rel-pos bias is PERMUTED to match (attention is
-   permutation-equivariant; -1e30 masked entries make cross-window
-   probability exactly 0). The permutation is baked into the tiny
-   (heads, PT, PT) bias tensor in XLA — activations never move.
+   matrix (98 rows -> one 128-row MXU tile instead of two half-empty
+   ones). The packed rows are gathered as sublane slices + one VMEM
+   `jnp.concatenate` (vector shuffles, not HBM copies), which leaves
+   tokens window-INTERLEAVED: rather than shuffling data into
+   window-major order, the packed rel-pos bias is PERMUTED to match
+   (attention is permutation-equivariant; -1e30 masked entries make
+   cross-window probability exactly 0).
 3. Backward is a Pallas kernel with the same geometry (dqkv assembled
    in-VMEM, permuted-bias gradient accumulated across grid steps and
    un-permuted by XLA autodiff of the bias construction).
 
-The dilated-grid partition keeps the XLA composition: its window tokens are
-stride-s1 columns, which Mosaic cannot gather contiguously (strided
-loads/dynamic slices unsupported; measured 2026-08-21), so a grid kernel
-would pay an XLA-side relayout anyway — see PARITY.md receipts.
+The grid case writes its outputs in a (B, th, s0, s1, tw, C) layout whose
+(s1, tw)->(tw, s1) un-permute is one XLA transpose — Mosaic has no strided
+sublane stores (measured 2026-08-21), so the natural layout cannot be
+written directly; this single copy replaces the grid_partition + qkv-split
++ grid_reverse relayout chain.
 
 Numerics mirror XLA autodiff of the plain composition: bf16 MXU matmuls
 with fp32 accumulation, fp32 softmax, cotangents cast to the activation
@@ -64,7 +68,8 @@ def _pack_factor(ps, h: int, w: int) -> int:
 
 def _slot_maps(ps, pack: int):
     """Row -> (window-in-pack, token-in-window) for the kernel's gather
-    order (a, w', b): u = a*(pack*tw) + w'*tw + b."""
+    order (a, w', b): u = a*(pack*tw) + w'*tw + b. Identical for block and
+    grid (the grid's in-kernel transpose restores (a, rr, b) order)."""
     th, tw = ps
     a = np.arange(th)
     b = np.arange(tw)
@@ -121,46 +126,71 @@ def _heads_of(blk, c: int, nh: int, h: int):
     return q, k, v
 
 
-def _gather_pair(strip, th: int, j0: int, ptw: int):
-    """(th, W, C) strip -> (th*ptw, C) packed rows for the windows covering
-    columns [j0*ptw, (j0+1)*ptw): th sublane slices + one VMEM concat."""
-    if th == 1:
-        return strip[0, j0 * ptw:(j0 + 1) * ptw, :]
-    return jnp.concatenate(
-        [strip[a, j0 * ptw:(j0 + 1) * ptw, :] for a in range(th)], axis=0)
+def _image_view(ref, e: int, part_type: str):
+    """Per-image strip: block (th, W, C); grid (th, s1, tw, C) — the
+    in-VMEM transpose makes each dilated window's tokens contiguous."""
+    if part_type == "block":
+        return ref[e, 0]
+    return ref[e, :, 0].transpose(0, 2, 1, 3)
 
 
-def _fwd_kernel(qkv_ref, b2_ref, o_ref, *, ps, nh: int, pack: int):
-    th, tw = ps
+def _gather_pack(strip, part_type: str, th: int, tw: int, j0: int,
+                 pack: int):
+    """-> (th*pack*tw, C) packed rows in (a, w', b) order via sublane
+    slices + one VMEM concat."""
+    if part_type == "block":
+        ptw = pack * tw
+        pieces = [strip[a, j0 * ptw:(j0 + 1) * ptw, :] for a in range(th)]
+    else:
+        pieces = [strip[a, j0 * pack + wp, :, :]
+                  for a in range(th) for wp in range(pack)]
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+
+
+def _scatter_pack(o_ref, rows, part_type: str, e: int, th: int, tw: int,
+                  j0: int, pack: int):
     ptw = pack * tw
+    if part_type == "block":
+        for a in range(th):
+            o_ref[e, 0, a, j0 * ptw:(j0 + 1) * ptw, :] = \
+                rows[a * ptw:(a + 1) * ptw, :]
+    else:
+        for a in range(th):
+            for wp in range(pack):
+                o_ref[e, a, 0, j0 * pack + wp, :, :] = \
+                    rows[a * ptw + wp * tw:a * ptw + (wp + 1) * tw, :]
+
+
+def _fwd_kernel(qkv_ref, b2_ref, o_ref, *, part_type: str, ps, nh: int,
+                pack: int):
+    th, tw = ps
     bb = qkv_ref.shape[0]
-    w = qkv_ref.shape[3]
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
+    nu = (qkv_ref.shape[3] // tw if part_type == "block"
+          else qkv_ref.shape[4])
     for e in range(bb):
-        strip = qkv_ref[e, 0]
-        for j0 in range(w // ptw):
-            blk = _gather_pair(strip, th, j0, ptw)
+        strip = _image_view(qkv_ref, e, part_type)
+        for j0 in range(nu // pack):
+            blk = _gather_pack(strip, part_type, th, tw, j0, pack)
             heads = []
             for h in range(nh):
                 q, k, v = _heads_of(blk, c, nh, h)
                 _, o = _attend(q, k, v, b2_ref[h])
                 heads.append(o.astype(o_ref.dtype))
             rows = heads[0] if nh == 1 else jnp.concatenate(heads, axis=-1)
-            for a in range(th):
-                o_ref[e, 0, a, j0 * ptw:(j0 + 1) * ptw, :] = \
-                    rows[a * ptw:(a + 1) * ptw, :]
+            _scatter_pack(o_ref, rows, part_type, e, th, tw, j0, pack)
 
 
 def _bwd_kernel(qkv_ref, b2_ref, g_ref, dqkv_ref, db2_ref, *,
-                ps, nh: int, pack: int):
+                part_type: str, ps, nh: int, pack: int):
     th, tw = ps
-    ptw = pack * tw
     bb = qkv_ref.shape[0]
-    w = qkv_ref.shape[3]
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
     d = c // nh
+    nu = (qkv_ref.shape[3] // tw if part_type == "block"
+          else qkv_ref.shape[4])
 
     @pl.when(pl.program_id(0) + pl.program_id(1) == 0)
     def _init():
@@ -168,11 +198,11 @@ def _bwd_kernel(qkv_ref, b2_ref, g_ref, dqkv_ref, db2_ref, *,
 
     db_acc = [jnp.zeros(b2_ref.shape[1:], jnp.float32) for _ in range(nh)]
     for e in range(bb):
-        strip = qkv_ref[e, 0]
-        gstrip = g_ref[e, 0]
-        for j0 in range(w // ptw):
-            blk = _gather_pair(strip, th, j0, ptw)
-            gblk = _gather_pair(gstrip, th, j0, ptw)
+        strip = _image_view(qkv_ref, e, part_type)
+        gstrip = _image_view(g_ref, e, part_type)
+        for j0 in range(nu // pack):
+            blk = _gather_pack(strip, part_type, th, tw, j0, pack)
+            gblk = _gather_pack(gstrip, part_type, th, tw, j0, pack)
             dqs, dks, dvs = [], [], []
             for h in range(nh):
                 q, k, v = _heads_of(blk, c, nh, h)
@@ -194,9 +224,7 @@ def _bwd_kernel(qkv_ref, b2_ref, g_ref, dqkv_ref, db2_ref, *,
                 dks.append(dk.astype(dqkv_ref.dtype))
                 dvs.append(dv.astype(dqkv_ref.dtype))
             rows = jnp.concatenate(dqs + dks + dvs, axis=-1)
-            for a in range(th):
-                dqkv_ref[e, 0, a, j0 * ptw:(j0 + 1) * ptw, :] = \
-                    rows[a * ptw:(a + 1) * ptw, :]
+            _scatter_pack(dqkv_ref, rows, part_type, e, th, tw, j0, pack)
     for h in range(nh):
         db2_ref[h] += db_acc[h]
 
@@ -216,73 +244,99 @@ def _block_batch(b: int, per_step_attends: int, block_bytes: int) -> int:
     return bb
 
 
-def _specs(b: int, h: int, w: int, c: int, ps, nh: int, pack: int,
-           itemsize: int):
-    th, tw = ps
-    per_step_attends = (w // (pack * tw)) * nh
-    bb = _block_batch(b, per_step_attends, th * w * c * itemsize)
-    blk = (bb, 1, th, w, c)
-    spec = pl.BlockSpec(blk, lambda n, i: (n, i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    return (b // bb, h // th), spec
-
-
-def _five_d(x, th: int):
+def _in_view(x, part_type: str, ps):
+    """Free (metadata-only) reshape of (B, H, W, C) to the kernel's view."""
     b, h, w, c = x.shape
-    return x.reshape(b, h // th, th, w, c)
+    th, tw = ps
+    if part_type == "block":
+        return x.reshape(b, h // th, th, w, c)
+    return x.reshape(b, th, h // th, tw, w // tw, c)
 
 
-def _fwd_pallas(qkv, bias, *, ps, nh: int, pack: int,
+def _specs(part_type: str, b: int, h: int, w: int, c: int, ps, nh: int,
+           pack: int, itemsize: int, out: bool = False):
+    th, tw = ps
+    nu = w // tw
+    per_step_attends = (nu // pack) * nh
+    bb = _block_batch(b, per_step_attends, th * w * c * itemsize)
+    if part_type == "block":
+        blk = (bb, 1, th, w, c)
+        shape = (b, h // th, th, w, c)
+        imap = lambda n, i: (n, i, 0, 0, 0)
+    elif out:
+        # permuted output layout (B, th, s0, s1, tw, C): un-permuted by one
+        # XLA transpose after the call (see module docstring)
+        blk = (bb, th, 1, nu, tw, c)
+        shape = (b, th, h // th, nu, tw, c)
+        imap = lambda n, i: (n, 0, i, 0, 0, 0)
+    else:
+        blk = (bb, th, 1, tw, nu, c)
+        shape = (b, th, h // th, tw, nu, c)
+        imap = lambda n, i: (n, 0, i, 0, 0, 0)
+    grid = (b // bb, h // th)
+    return grid, pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM), shape
+
+
+def _out_4d(o, part_type: str, b: int, h: int, w: int, c: int):
+    if part_type == "block":
+        return o.reshape(b, h, w, c)
+    return o.transpose(0, 1, 2, 4, 3, 5).reshape(b, h, w, c)
+
+
+def _fwd_pallas(qkv, bias, *, part_type: str, ps, nh: int, pack: int,
                 interpret: bool = False):
     b, h, w, c3 = qkv.shape
     c = c3 // 3
     b2 = packed_bias(bias, ps, pack)
     itemsize = jnp.dtype(qkv.dtype).itemsize
-    grid, qspec = _specs(b, h, w, c3, ps, nh, pack, itemsize)
-    _, ospec = _specs(b, h, w, c, ps, nh, pack, itemsize)
+    grid, qspec, _ = _specs(part_type, b, h, w, c3, ps, nh, pack, itemsize)
+    _, ospec, oshape = _specs(part_type, b, h, w, c, ps, nh, pack, itemsize,
+                              out=True)
     bspec = pl.BlockSpec(b2.shape, lambda n, i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    out5 = pl.pallas_call(
-        functools.partial(_fwd_kernel, ps=tuple(ps), nh=nh, pack=pack),
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, part_type=part_type, ps=tuple(ps),
+                          nh=nh, pack=pack),
         grid=grid,
         in_specs=[qspec, bspec],
         out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct((b, h // ps[0], ps[0], w, c),
-                                       qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct(oshape, qkv.dtype),
         compiler_params=_VMEM,
         interpret=interpret,
-    )(_five_d(qkv, ps[0]), b2)
-    return out5.reshape(b, h, w, c)
+    )(_in_view(qkv, part_type, ps), b2)
+    return _out_4d(out, part_type, b, h, w, c)
 
 
-def _bwd_pallas(qkv, bias, g, *, ps, nh: int, pack: int,
+def _bwd_pallas(qkv, bias, g, *, part_type: str, ps, nh: int, pack: int,
                 interpret: bool = False):
     b, h, w, c3 = qkv.shape
     c = c3 // 3
     b2 = packed_bias(bias, ps, pack)
     itemsize = jnp.dtype(qkv.dtype).itemsize
-    grid, qspec = _specs(b, h, w, c3, ps, nh, pack, itemsize)
-    _, gspec = _specs(b, h, w, c, ps, nh, pack, itemsize)
+    grid, qspec, _ = _specs(part_type, b, h, w, c3, ps, nh, pack, itemsize)
+    _, gspec, _ = _specs(part_type, b, h, w, c, ps, nh, pack, itemsize)
+    _, dspec, dshape = _specs(part_type, b, h, w, c3, ps, nh, pack,
+                              itemsize, out=True)
     bspec = pl.BlockSpec(b2.shape, lambda n, i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     accspec = pl.BlockSpec(b2.shape, lambda n, i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    dqkv5, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, ps=tuple(ps), nh=nh, pack=pack),
+    dqkv_v, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, part_type=part_type, ps=tuple(ps),
+                          nh=nh, pack=pack),
         grid=grid,
         in_specs=[qspec, bspec, gspec],
-        out_specs=[qspec, accspec],
-        out_shape=[jax.ShapeDtypeStruct((b, h // ps[0], ps[0], w, c3),
-                                        qkv.dtype),
+        out_specs=[dspec, accspec],
+        out_shape=[jax.ShapeDtypeStruct(dshape, qkv.dtype),
                    jax.ShapeDtypeStruct(b2.shape, jnp.float32)],
         compiler_params=_VMEM,
         interpret=interpret,
-    )(_five_d(qkv, ps[0]), b2, _five_d(g, ps[0]))
+    )(_in_view(qkv, part_type, ps), b2, _in_view(g, part_type, ps))
     # un-permute the packed-bias cotangent back to (heads, T, T) via the
     # (tiny, XLA-side) bias-construction VJP
     _, bias_vjp = jax.vjp(lambda bi: packed_bias(bi, ps, pack), bias)
     (db,) = bias_vjp(db2)
-    return dqkv5.reshape(b, h, w, c3), db
+    return _out_4d(dqkv_v, part_type, b, h, w, c3), db
 
 
 # ---------------------------------------------------------------------------
@@ -324,41 +378,42 @@ def plain_partition_attention(qkv, bias, *, part_type: str, ps, nh: int,
             else grid_reverse(o, ps, (h, w)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused(qkv, bias, ps, nh, pack):
-    return _fwd_pallas(qkv, bias, ps=ps, nh=nh, pack=pack)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused(qkv, bias, part_type, ps, nh, pack):
+    return _fwd_pallas(qkv, bias, part_type=part_type, ps=ps, nh=nh,
+                       pack=pack)
 
 
-def _fused_fwd(qkv, bias, ps, nh, pack):
-    return _fused(qkv, bias, ps, nh, pack), (qkv, bias)
+def _fused_fwd(qkv, bias, part_type, ps, nh, pack):
+    return _fused(qkv, bias, part_type, ps, nh, pack), (qkv, bias)
 
 
-def _fused_bwd(ps, nh, pack, res, g):
+def _fused_bwd(part_type, ps, nh, pack, res, g):
     qkv, bias = res
-    return _bwd_pallas(qkv, bias, g, ps=ps, nh=nh, pack=pack)
+    return _bwd_pallas(qkv, bias, g, part_type=part_type, ps=ps, nh=nh,
+                       pack=pack)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def partition_attention(qkv, bias, *, part_type: str, ps, num_heads: int):
-    """softmax-attention over block-window partitions of an UNPARTITIONED
-    (B, H, W, 3*C) qkv tensor; returns (B, H, W, C).
+    """softmax-attention over window ("block") / dilated-grid ("grid")
+    partitions of an UNPARTITIONED (B, H, W, 3*C) qkv tensor; returns
+    (B, H, W, C).
 
     bias: (heads, T, T) pre-softmax rel-pos bias (T = ps[0]*ps[1]); q must
     be pre-scaled by the caller. Packs windows per MXU tile; Pallas on TPU,
-    plain XLA composition elsewhere. Differentiable. part_type must be
-    "block" (the dilated grid keeps the XLA path — see module docstring)."""
-    assert part_type == "block", part_type
+    plain XLA composition elsewhere. Differentiable."""
     b, h, w, _ = qkv.shape
     ps = tuple(ps)
     pack = _pack_factor(ps, h, w)
 
     def fused(qkv, bias):
-        return _fused(qkv, bias, ps, num_heads, pack)
+        return _fused(qkv, bias, part_type, ps, num_heads, pack)
 
     def plain(qkv, bias):
-        return plain_partition_attention(qkv, bias, part_type="block",
+        return plain_partition_attention(qkv, bias, part_type=part_type,
                                          ps=ps, nh=num_heads, pack=pack)
 
     return jax.lax.platform_dependent(qkv, bias, cpu=plain, default=fused)

@@ -126,17 +126,18 @@ class RelPosBias(nn.Module):
 def use_fused_partition_attn(x_shape, ps, part_type: str, attn_drop: float,
                              deterministic: bool) -> bool:
     """Gate for the partition-free packed Pallas attention
-    (ops/partition_attention.py): on by default for block windows (CPU falls
-    back to the plain twin via platform dispatch inside the op);
+    (ops/partition_attention.py): on by default for both partition types
+    (CPU falls back to the plain twin via platform dispatch inside the op);
     IMTPU_PART_ATTN=xla restores the partition->AttentionCl->reverse
-    composition. The dilated grid keeps the XLA path (strided window
-    columns — see the op's docstring); softmax dropout would need in-kernel
-    RNG; a single-window image (stage 3) has a metadata-only partition XLA
-    already elides; oversized strips would blow the VMEM block."""
-    if os.environ.get("IMTPU_PART_ATTN", "fused") == "xla":
+    composition, =block fuses block windows only. Softmax dropout would
+    need in-kernel RNG; a single-window image (stage 3) has a metadata-only
+    partition XLA already elides; oversized strips would blow the VMEM
+    block — those route to the XLA path."""
+    mode = os.environ.get("IMTPU_PART_ATTN", "fused")
+    if mode == "xla":
         return False
-    if part_type != "block":
-        return False
+    if mode == "block" and part_type != "block":
+        return False  # A/B attribution knob: fuse block windows only
     if attn_drop > 0 and not deterministic:
         return False
     h, w, c = x_shape[1], x_shape[2], x_shape[3]

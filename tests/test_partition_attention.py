@@ -19,11 +19,14 @@ from imagenet_models_tpu.ops.partition_attention import (
 )
 
 CASES = [
-    # (b, h, w, c, nh)
-    (2, 14, 14, 64, 2),
-    (1, 28, 28, 128, 4),
-    (2, 14, 21, 96, 3),   # odd window count -> pack falls to 1
-    (3, 21, 14, 64, 2),   # odd batch, 3 strips
+    # (b, h, w, c, nh, part_type)
+    (2, 14, 14, 64, 2, "block"),
+    (2, 14, 14, 64, 2, "grid"),
+    (1, 28, 28, 128, 4, "block"),
+    (1, 28, 28, 128, 4, "grid"),
+    (2, 14, 21, 96, 3, "block"),   # odd window count -> pack falls to 1
+    (2, 14, 21, 96, 3, "grid"),
+    (3, 21, 14, 64, 2, "block"),   # odd batch, 3 strips
 ]
 PS = (7, 7)
 
@@ -36,29 +39,30 @@ def _mk(b, h, w, c, nh, dtype, seed=0):
     return qkv, bias
 
 
-@pytest.mark.parametrize("b,h,w,c,nh", CASES)
-def test_fwd_parity(b, h, w, c, nh):
+@pytest.mark.parametrize("b,h,w,c,nh,part", CASES)
+def test_fwd_parity(b, h, w, c, nh, part):
     qkv, bias = _mk(b, h, w, c, nh, jnp.float32)
     pack = _pack_factor(PS, h, w)
-    ref = plain_partition_attention(qkv, bias, part_type="block", ps=PS,
+    ref = plain_partition_attention(qkv, bias, part_type=part, ps=PS,
                                     nh=nh, pack=pack)
-    out = _fwd_pallas(qkv, bias, ps=PS, nh=nh, pack=pack, interpret=True)
+    out = _fwd_pallas(qkv, bias, part_type=part, ps=PS, nh=nh, pack=pack,
+                      interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("b,h,w,c,nh", CASES[:2])
-def test_bwd_parity(b, h, w, c, nh):
+@pytest.mark.parametrize("b,h,w,c,nh,part", CASES[:4])
+def test_bwd_parity(b, h, w, c, nh, part):
     qkv, bias = _mk(b, h, w, c, nh, jnp.float32, seed=3)
     pack = _pack_factor(PS, h, w)
     g = jax.random.normal(jax.random.PRNGKey(9), (b, h, w, c), jnp.float32)
     _, vjp = jax.vjp(
-        lambda a, bb: plain_partition_attention(a, bb, part_type="block",
+        lambda a, bb: plain_partition_attention(a, bb, part_type=part,
                                                 ps=PS, nh=nh, pack=pack),
         qkv, bias)
     dq_ref, db_ref = vjp(g)
-    dq, db = _bwd_pallas(qkv, bias, g, ps=PS, nh=nh, pack=pack,
-                         interpret=True)
+    dq, db = _bwd_pallas(qkv, bias, g, part_type=part, ps=PS, nh=nh,
+                         pack=pack, interpret=True)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
