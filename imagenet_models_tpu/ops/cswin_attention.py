@@ -41,6 +41,23 @@ def windows2img(x: jnp.ndarray, hs: int, ws: int, h: int, w: int) -> jnp.ndarray
     return x.reshape(b, h, w, -1)
 
 
+class _DWConvParams(nn.Module):
+    """Bare depthwise-3x3 conv params with nn.Conv's exact pytree
+    (kernel (3,3,1,C) HWIO + bias (C,)) so the checkpoint converter and
+    param paths are unchanged; callers apply them via lax.conv or hand
+    them to the fused stripe kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init(),
+                       (3, 3, 1, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class LePEAttention(nn.Module):
     """One stripe orientation (reference: ga_cswin.py:59-136).
 
@@ -60,10 +77,19 @@ class LePEAttention(nn.Module):
     dtype: Optional[Dtype] = None
 
     def setup(self):
-        self.get_v = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
-                             feature_group_count=self.dim, dtype=self.dtype,
-                             kernel_init=trunc_normal_init())
+        self.get_v = _DWConvParams(self.dim)
         self.attn_dropout = nn.Dropout(self.attn_drop)
+
+    def _dw_conv(self, x):
+        """nn.Conv-equivalent depthwise 3x3: params cast to the compute
+        dtype, f32 MXU accumulation, bias added in the compute dtype."""
+        k, b = self.get_v()
+        dt = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim)
+        return y + b.astype(dt)
 
     def geometry(self, h: int, w: int) -> Tuple[int, int]:
         if self.idx == -1:
@@ -84,7 +110,7 @@ class LePEAttention(nn.Module):
         b, h, w, c = v.shape
         hs, ws = self.geometry(h, w)
         vw_sp = img2windows(v, hs, ws).reshape(-1, hs, ws, c)
-        lepe = self.get_v(vw_sp)
+        lepe = self._dw_conv(vw_sp)
         if heads_inner:
             nh = self.num_heads
             return lepe.reshape(-1, hs * ws, nh, c // nh)
@@ -96,6 +122,25 @@ class LePEAttention(nn.Module):
         nh = self.num_heads
         d = c // nh
         scale = d ** -0.5
+
+        from imagenet_models_tpu.ops.stripe_attention import (
+            stripe_attention,
+            use_fused_stripe_attn,
+        )
+
+        if (self.idx == 0
+                and use_fused_stripe_attn(q.shape, self.split_size,
+                                          self.attn_drop, deterministic)
+                and os.environ.get("IMTPU_FLASH_ATTN", "0") != "1"
+                and os.environ.get("IMTPU_CSWIN_DIRECT", "0") != "1"
+                and os.environ.get("IMTPU_CSWIN_INNER", "0") != "1"):
+            # Partition-free fused stripe attention + LePE: zero relayouts
+            # for the expensive idx=0 orientation (see ops/stripe_attention).
+            k9, kb = self.get_v()
+            return stripe_attention(
+                q, k, v, k9.reshape(9, c).astype(jnp.float32),
+                kb.reshape(1, c).astype(jnp.float32),
+                ws=self.split_size, num_heads=nh, scale=scale)
 
         # Default is the XLA batched path: measured A/B on v5e (ga_cswin_tiny
         # 224 eval, scripts/bench_cswin.py) gives XLA 1589 img/s vs 1137-1172
