@@ -8,16 +8,18 @@ reverse on the output and the LePE value windows; the r3 ga_cswin trace
 charged ~52% of the train step to this relayout tail. The idx=1 orientation
 is free (its partition only moves a size-1 dim) and stays in XLA.
 
-This kernel removes every relayout for idx=0. The key fact: viewed as
-(B, H, j, ws, C) — a pure row-major split of W, no data movement — each
-stripe's tokens live in a contiguous (H, ws, C) block, so a BlockSpec that
-blocks only the `j` dim hands the kernel whole stripes with zero copies, and
-the output written in the same view reshapes back to (B, H, W, C) for free.
-Inside the kernel:
+This kernel removes every relayout for idx=0. The key fact: a vertical
+stripe is a contiguous block of W columns, and W is the sublane-adjacent
+dim of the NHWC layout — so a BlockSpec that blocks the W axis in units of
+`pack*ws` columns hands the kernel whole stripes with zero copies (the
+stripe index rides the Pallas grid), and the output is written back in the
+identical layout. Inside the kernel:
 
-1. Stripe tokens are flattened by `ws` sublane slices + one VMEM concat
-   (tokens column-major per stripe; CSWin has no rel-pos bias, so attention
-   is permutation-equivariant and only the *mask* must match the row order).
+1. Stripe tokens are flattened by `h` row slices + one VMEM concat — each
+   slice keeps the tiled (sublane, lane) pair intact, the one layout Mosaic
+   can move for free (tokens row-major in (x, stripe, y) order; CSWin has
+   no rel-pos bias, so attention is permutation-equivariant and only the
+   *mask* must match the row order).
 2. `pack` stripes share one score matrix under a block-diagonal -1e30 mask
    (stage-1 56-token stripes: 2 per 128-row MXU tile), exactly the packing
    trick of ops/partition_attention.py.
@@ -55,9 +57,25 @@ def _stripe_pack(t: int, j: int) -> int:
     return max(p, 1)
 
 
-def _stripe_mask(t: int, pack: int) -> jnp.ndarray:
-    """(pack*t, pack*t) additive mask: 0 within a stripe, -1e30 across."""
-    win = np.arange(pack * t) // t
+def _sub_blocks(ws: int, pack: int, w: int):
+    """Pallas requires the blocked second-minor (W) dim be a multiple of 8
+    or the full axis; return the smallest S with S*pack*ws satisfying that
+    and dividing W (S packs are looped in-kernel), or None -> XLA path."""
+    pws = pack * ws
+    for s in range(1, w // pws + 1):
+        bw = s * pws
+        if w % bw == 0 and (bw % 8 == 0 or bw == w):
+            return s
+    return None
+
+
+def _stripe_mask(ws: int, h: int, pack: int) -> jnp.ndarray:
+    """(pack*t, pack*t) additive mask: 0 within a stripe, -1e30 across.
+    Row order is the kernel's row-major gather (a, w', y): token (x=a, y) of
+    packed stripe w' sits at row a*(pack*ws) + w'*ws + y."""
+    pws = pack * ws
+    rows = np.arange(h * pws)
+    win = (rows % pws) // ws
     return jnp.asarray(np.where(win[:, None] == win[None, :], 0.0, -1e30),
                        jnp.float32)
 
@@ -96,46 +114,54 @@ def _taps(ws: int):
 
 
 def _lepe_fwd(v, w9, wb):
-    """9-tap depthwise stencil on one (h, ws, cb) stripe; fp32 accumulate."""
-    ws = v.shape[1]
-    acc = jnp.zeros(v.shape, jnp.float32) + wb
+    """9-tap depthwise stencil on one (h, ws, cb) stripe; fp32 accumulate.
+    All broadcast operands stay >=2-D (Mosaic dislikes 1-D vectors)."""
+    ws, cb = v.shape[1], v.shape[2]
+    acc = jnp.zeros(v.shape, jnp.float32) + wb.reshape(1, 1, cb)
     for t, dx, dy in _taps(ws):
-        acc = acc + _lepe_shift(v, dx, dy).astype(jnp.float32) * w9[t]
+        acc = acc + (_lepe_shift(v, dx, dy).astype(jnp.float32)
+                     * w9[t:t + 1, :].reshape(1, 1, cb))
     return acc
 
 
+def _rows_of(ref, e: int, h: int, c0: int, c1: int):
+    """(bb, h, S*pws, cb) block, columns [c0:c1) -> (h*(c1-c0), cb) token
+    rows in (a, w', y) order via h sublane-legal row slices + one concat."""
+    pieces = [ref[e, a, c0:c1, :] for a in range(h)]
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+
+
 def _vs_fwd_kernel(q_ref, k_ref, v_ref, m_ref, w9_ref, wb_ref, o_ref, *,
-                   nh: int, pack: int, scale: float):
-    bb, h, p, ws, cb = q_ref.shape
+                   nh: int, ws: int, pack: int, subs: int, scale: float):
+    bb, h, _bw, cb = q_ref.shape
+    pws = pack * ws
     d = cb // nh
     for e in range(bb):
-        def rows_of(ref):
-            pieces = [ref[e, :, jj, y, :] for jj in range(pack)
-                      for y in range(ws)]
-            return (pieces[0] if len(pieces) == 1
-                    else jnp.concatenate(pieces, axis=0))
-
-        qr = rows_of(q_ref)
-        kr = rows_of(k_ref)
-        vr = rows_of(v_ref)
-        heads = []
-        for hh in range(nh):
-            sl = slice(hh * d, (hh + 1) * d)
-            _, o = _attend(qr[:, sl] * scale, kr[:, sl], vr[:, sl], m_ref[...])
-            heads.append(o)
-        rows = heads[0] if nh == 1 else jnp.concatenate(heads, axis=-1)
-        for jj in range(pack):
-            lepe = _lepe_fwd(v_ref[e, :, jj, :, :], w9_ref, wb_ref[0])
-            for y in range(ws):
-                o_ref[e, :, jj, y, :] = (
-                    rows[(jj * ws + y) * h:(jj * ws + y + 1) * h, :]
-                    + lepe[:, y, :]).astype(o_ref.dtype)
+        for s in range(subs):
+            c0, c1 = s * pws, (s + 1) * pws
+            qr = _rows_of(q_ref, e, h, c0, c1)
+            kr = _rows_of(k_ref, e, h, c0, c1)
+            vr = _rows_of(v_ref, e, h, c0, c1)
+            heads = []
+            for hh in range(nh):
+                sl = slice(hh * d, (hh + 1) * d)
+                _, o = _attend(qr[:, sl] * scale, kr[:, sl], vr[:, sl],
+                               m_ref[...])
+                heads.append(o)
+            rows = heads[0] if nh == 1 else jnp.concatenate(heads, axis=-1)
+            lepes = [_lepe_fwd(v_ref[e, :, c0 + wp * ws:c0 + (wp + 1) * ws, :],
+                               w9_ref, wb_ref[...]) for wp in range(pack)]
+            lepe = lepes[0] if pack == 1 else jnp.concatenate(lepes, axis=1)
+            for a in range(h):
+                o_ref[e, a, c0:c1, :] = (rows[a * pws:(a + 1) * pws, :]
+                                         + lepe[a]).astype(o_ref.dtype)
 
 
 def _vs_bwd_kernel(q_ref, k_ref, v_ref, m_ref, w9_ref, wb_ref, g_ref,
                    dq_ref, dk_ref, dv_ref, dw9_ref, dwb_ref, *,
-                   nh: int, pack: int, scale: float):
-    bb, h, _p, ws, cb = q_ref.shape
+                   nh: int, ws: int, pack: int, subs: int, scale: float):
+    bb, h, _bw, cb = q_ref.shape
+    pws = pack * ws
     d = cb // nh
 
     @pl.when(pl.program_id(0) + pl.program_id(1) == 0)
@@ -143,85 +169,90 @@ def _vs_bwd_kernel(q_ref, k_ref, v_ref, m_ref, w9_ref, wb_ref, g_ref,
         dw9_ref[...] = jnp.zeros_like(dw9_ref)
         dwb_ref[...] = jnp.zeros_like(dwb_ref)
 
-    dw9_rows = [jnp.zeros((cb,), jnp.float32) for _ in range(9)]
-    dwb_acc = jnp.zeros((cb,), jnp.float32)
+    dw9_rows = [jnp.zeros((1, cb), jnp.float32) for _ in range(9)]
+    dwb_acc = jnp.zeros((1, cb), jnp.float32)
     for e in range(bb):
-        def rows_of(ref):
-            pieces = [ref[e, :, jj, y, :] for jj in range(pack)
-                      for y in range(ws)]
-            return (pieces[0] if len(pieces) == 1
-                    else jnp.concatenate(pieces, axis=0))
+        for s in range(subs):
+            c0, c1 = s * pws, (s + 1) * pws
+            qr = _rows_of(q_ref, e, h, c0, c1)
+            kr = _rows_of(k_ref, e, h, c0, c1)
+            vr = _rows_of(v_ref, e, h, c0, c1)
+            gr = _rows_of(g_ref, e, h, c0, c1)
+            dqs, dks, dvs = [], [], []
+            for hh in range(nh):
+                sl = slice(hh * d, (hh + 1) * d)
+                q, k, v = qr[:, sl] * scale, kr[:, sl], vr[:, sl]
+                gh = gr[:, sl]
+                p_, _ = _attend(q, k, v, m_ref[...])
+                dv = jax.lax.dot_general(p_, gh, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                pf = p_.astype(jnp.float32)
+                ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+                dsq = ds.astype(q.dtype)
+                dq = jnp.dot(dsq, k,
+                             preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(dsq, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                dqs.append(dq.astype(dq_ref.dtype))
+                dks.append(dk.astype(dk_ref.dtype))
+                dvs.append(dv)
+            dqr = dqs[0] if nh == 1 else jnp.concatenate(dqs, axis=-1)
+            dkr = dks[0] if nh == 1 else jnp.concatenate(dks, axis=-1)
+            dvr = dvs[0] if nh == 1 else jnp.concatenate(dvs, axis=-1)
+            dv_lepes = []
+            for wp in range(pack):
+                w0 = c0 + wp * ws
+                gs = g_ref[e, :, w0:w0 + ws, :]
+                vs = v_ref[e, :, w0:w0 + ws, :]
+                gf = gs.astype(jnp.float32)
+                # dv += transposed-stencil(g); dw9[t] += sum(shift_t(v)*g)
+                dv_lepe = jnp.zeros((h, ws, cb), jnp.float32)
+                for t, dx, dy in _taps(ws):
+                    dv_lepe = dv_lepe + (
+                        _lepe_shift(gs, -dx, -dy).astype(jnp.float32)
+                        * w9_ref[t:t + 1, :].reshape(1, 1, cb))
+                    dw9_rows[t] = dw9_rows[t] + jnp.sum(
+                        _lepe_shift(vs, dx, dy).astype(jnp.float32) * gf,
+                        axis=(0, 1), keepdims=True).reshape(1, cb)
+                dwb_acc = dwb_acc + jnp.sum(gf, axis=(0, 1),
+                                            keepdims=True).reshape(1, cb)
+                dv_lepes.append(dv_lepe)
+            dv_lepe = (dv_lepes[0] if pack == 1
+                       else jnp.concatenate(dv_lepes, axis=1))
+            for a in range(h):
+                dv_ref[e, a, c0:c1, :] = (dvr[a * pws:(a + 1) * pws, :]
+                                          + dv_lepe[a]).astype(dv_ref.dtype)
+                dq_ref[e, a, c0:c1, :] = dqr[a * pws:(a + 1) * pws, :]
+                dk_ref[e, a, c0:c1, :] = dkr[a * pws:(a + 1) * pws, :]
+    dw9_ref[...] += jnp.concatenate(dw9_rows, axis=0)
+    dwb_ref[...] += dwb_acc
 
-        qr = rows_of(q_ref)
-        kr = rows_of(k_ref)
-        vr = rows_of(v_ref)
-        gr = rows_of(g_ref)
-        dqs, dks, dvs = [], [], []
-        for hh in range(nh):
-            sl = slice(hh * d, (hh + 1) * d)
-            q, k, v = qr[:, sl] * scale, kr[:, sl], vr[:, sl]
-            gh = gr[:, sl]
-            p_, _ = _attend(q, k, v, m_ref[...])
-            dv = jax.lax.dot_general(p_, gh, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            pf = p_.astype(jnp.float32)
-            ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
-            dsq = ds.astype(q.dtype)
-            dq = jnp.dot(dsq, k, preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(dsq, q, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dqs.append(dq.astype(dq_ref.dtype))
-            dks.append(dk.astype(dk_ref.dtype))
-            dvs.append(dv)
-        dqr = dqs[0] if nh == 1 else jnp.concatenate(dqs, axis=-1)
-        dkr = dks[0] if nh == 1 else jnp.concatenate(dks, axis=-1)
-        dvr = dvs[0] if nh == 1 else jnp.concatenate(dvs, axis=-1)
-        for jj in range(pack):
-            gs = g_ref[e, :, jj, :, :]
-            vs = v_ref[e, :, jj, :, :]
-            gf = gs.astype(jnp.float32)
-            # dv += transposed-stencil(g); dw9[t] += sum(shift_t(v) * g)
-            dv_lepe = jnp.zeros((h, ws, cb), jnp.float32)
-            for t, dx, dy in _taps(ws):
-                dv_lepe = dv_lepe + _lepe_shift(gs, -dx, -dy).astype(
-                    jnp.float32) * w9_ref[t]
-                dw9_rows[t] = dw9_rows[t] + jnp.sum(
-                    _lepe_shift(vs, dx, dy).astype(jnp.float32) * gf,
-                    axis=(0, 1))
-            dwb_acc = dwb_acc + jnp.sum(gf, axis=(0, 1))
-            for y in range(ws):
-                dv_ref[e, :, jj, y, :] = (
-                    dvr[(jj * ws + y) * h:(jj * ws + y + 1) * h, :]
-                    + dv_lepe[:, y, :]).astype(dv_ref.dtype)
-                dq_ref[e, :, jj, y, :] = dqr[(jj * ws + y) * h:
-                                             (jj * ws + y + 1) * h, :]
-                dk_ref[e, :, jj, y, :] = dkr[(jj * ws + y) * h:
-                                             (jj * ws + y + 1) * h, :]
-    dw9_ref[...] += jnp.stack(dw9_rows, axis=0)
-    dwb_ref[...] += dwb_acc.reshape(1, cb)
 
-
-def _vs_block_batch(b: int, nh: int, block_bytes: int) -> int:
+def _vs_block_batch(b: int, attends: int, block_bytes: int) -> int:
     bb = 1
-    while (2 * bb <= b and b % (2 * bb) == 0 and 2 * bb * nh <= 32
+    while (2 * bb <= b and b % (2 * bb) == 0 and 2 * bb * attends <= 32
            and 2 * bb * block_bytes <= (4 << 20)):
         bb *= 2
     return bb
 
 
-def _vs_parts(q, ws: int, pack: int, nh: int):
+def _vs_parts(q, ws: int, pack: int, subs: int, nh: int):
+    """Blocks are (bb, h, S*pack*ws, cb): the W dim (sublane-adjacent) is
+    the blocked axis, so every row slice the kernel takes keeps the tiled
+    (sublane, lane) pair intact — Mosaic rejects layouts that move the
+    token dim out of it ('unsupported shape cast', measured 2026-08-21) —
+    and S packs share a block so the W block size hits the multiple-of-8
+    lowering rule (the second error mode, same date)."""
     b, h, w, cb = q.shape
-    j = w // ws
+    bw = subs * pack * ws
     itemsize = jnp.dtype(q.dtype).itemsize
-    bb = _vs_block_batch(b, nh, 3 * h * pack * ws * cb * itemsize)
-    blk = (bb, h, pack, ws, cb)
-    spec = pl.BlockSpec(blk, lambda n, i: (n, 0, i, 0, 0),
+    bb = _vs_block_batch(b, subs * nh, 3 * h * bw * cb * itemsize)
+    spec = pl.BlockSpec((bb, h, bw, cb), lambda n, i: (n, 0, i, 0),
                         memory_space=pltpu.VMEM)
-    grid = (b // bb, j // pack)
-    vshape = (b, h, j, ws, cb)
-    return grid, spec, vshape
+    grid = (b // bb, w // bw)
+    return grid, spec
 
 
 def _const_spec(shape):
@@ -233,43 +264,44 @@ def _const_spec(shape):
 def _vs_fwd_pallas(q, k, v, w9, wb, *, ws, nh, scale, pack,
                    interpret=False):
     b, h, w, cb = q.shape
-    mask = _stripe_mask(h * ws, pack)
-    grid, spec, vshape = _vs_parts(q, ws, pack, nh)
-    view = lambda t: t.reshape(vshape)
+    mask = _stripe_mask(ws, h, pack)
+    subs = _sub_blocks(ws, pack, w)
+    grid, spec = _vs_parts(q, ws, pack, subs, nh)
     out = pl.pallas_call(
-        functools.partial(_vs_fwd_kernel, nh=nh, pack=pack, scale=scale),
+        functools.partial(_vs_fwd_kernel, nh=nh, ws=ws, pack=pack,
+                          subs=subs, scale=scale),
         grid=grid,
         in_specs=[spec, spec, spec, _const_spec(mask.shape),
                   _const_spec(w9.shape), _const_spec(wb.shape)],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(vshape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=_VMEM,
         interpret=interpret,
-    )(view(q), view(k), view(v), mask, w9, wb)
-    return out.reshape(b, h, w, cb)
+    )(q, k, v, mask, w9, wb)
+    return out
 
 
 def _vs_bwd_pallas(q, k, v, w9, wb, g, *, ws, nh, scale, pack,
                    interpret=False):
     b, h, w, cb = q.shape
-    mask = _stripe_mask(h * ws, pack)
-    grid, spec, vshape = _vs_parts(q, ws, pack, nh)
-    view = lambda t: t.reshape(vshape)
+    mask = _stripe_mask(ws, h, pack)
+    subs = _sub_blocks(ws, pack, w)
+    grid, spec = _vs_parts(q, ws, pack, subs, nh)
     dq, dk, dv, dw9, dwb = pl.pallas_call(
-        functools.partial(_vs_bwd_kernel, nh=nh, pack=pack, scale=scale),
+        functools.partial(_vs_bwd_kernel, nh=nh, ws=ws, pack=pack,
+                          subs=subs, scale=scale),
         grid=grid,
         in_specs=[spec, spec, spec, _const_spec(mask.shape),
                   _const_spec(w9.shape), _const_spec(wb.shape), spec],
         out_specs=[spec, spec, spec, _const_spec(w9.shape),
                    _const_spec(wb.shape)],
-        out_shape=[jax.ShapeDtypeStruct(vshape, q.dtype)] * 3
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
         + [jax.ShapeDtypeStruct(w9.shape, jnp.float32),
            jax.ShapeDtypeStruct(wb.shape, jnp.float32)],
         compiler_params=_VMEM,
         interpret=interpret,
-    )(view(q), view(k), view(v), mask, w9, wb, view(g))
-    to4 = lambda t: t.reshape(b, h, w, cb)
-    return to4(dq), to4(dk), to4(dv), dw9, dwb
+    )(q, k, v, mask, w9, wb, g)
+    return dq, dk, dv, dw9, dwb
 
 
 def plain_stripe_attention(q, k, v, w9, wb, *, ws, nh, scale):
@@ -333,7 +365,18 @@ def use_fused_stripe_attn(x_shape, ws: int, attn_drop: float,
     h, w, cb = x_shape[1], x_shape[2], x_shape[3]
     if w % ws or (h == ws and w == ws):
         return False
-    return 3 * h * ws * cb * 2 <= (4 << 20)
+    # The kernel gathers h row slices per stripe attend, so its constant
+    # cost scales with h while the saved relayout scales with the stage's
+    # share of depth: the all-stage A/B measured 702.8 vs 716-726 img/s
+    # (ga_cswin_tiny B=128, 2026-08-21) while stage-3 (h=14, 21 of 26
+    # blocks) is where the fusion pays. Engage only for h <= MAXH.
+    if h > int(os.environ.get("IMTPU_STRIPE_MAXH", "16")):
+        return False
+    pack = _stripe_pack(h * ws, w // ws)
+    subs = _sub_blocks(ws, pack, w)
+    if subs is None:
+        return False
+    return 3 * h * subs * pack * ws * cb * 2 <= (4 << 20)
 
 
 def stripe_attention(q, k, v, w9, wb, *, ws: int, num_heads: int,

@@ -18,13 +18,18 @@
 # Usage: bash scripts/convergence_gelu_ab.sh [epochs]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-EPOCHS="${1:-8}"
+# The host-side aug pipeline (1 CPU core) bounds wall clock at ~25 min/epoch
+# for 20000 imgs; the A/B's validity needs identical arms, not a big corpus,
+# so the default comparison runs 10000:2500 x 6 epochs (~2.5 h both arms).
+EPOCHS="${1:-6}"
+NTRAIN="${2:-10000}"
+NVAL="${3:-2500}"
 OUT=artifacts/convergence
 mkdir -p "$OUT"
 
 run_arm() {
   local arm="$1"; shift
-  env "$@" python train.py synthetic-cls:20000:5000 \
+  env "$@" python train.py "synthetic-cls:$NTRAIN:$NVAL" \
     --model map_convnext_tiny --num-classes 100 \
     --input-size 3 128 128 -b 128 --epochs "$EPOCHS" --cooldown-epochs 0 \
     --opt lamb --opt-eps 1e-8 --momentum 0.8 --lr 6.25e-4 --weight-decay 0.05 \
