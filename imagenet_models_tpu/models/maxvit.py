@@ -157,9 +157,34 @@ class PartitionAttention(nn.Module):
             a = window_reverse(part, ps, hw) if self.partition_type == "block" else grid_reverse(part, ps, hw)
         dp = DropPath(self.drop_path)
         x = x + dp(a, deterministic=det)
-        m = Mlp(hidden_features=int(self.dim * self.expand_ratio), act=gelu,
-                drop=self.proj_drop, dtype=self.dtype, name="mlp")(
-            LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="norm2")(x), deterministic=det)
+        hidden = int(self.dim * self.expand_ratio)
+        from imagenet_models_tpu.ops.convnext_block import (
+            ln_mlp_apply,
+            use_transformer_lnmlp,
+        )
+
+        if use_transformer_lnmlp(self.proj_drop, det):
+            # norm2+Mlp as one fused Pallas kernel (hidden never hits HBM);
+            # identical param tree via ParamHolder, so checkpoints are
+            # unaffected.
+            from imagenet_models_tpu.nn.param_holder import MlpParams, ParamHolder
+
+            c = self.dim
+            zeros = nn.initializers.zeros_init()
+            ones = nn.initializers.ones_init()
+            norm = ParamHolder([("scale", (c,), ones), ("bias", (c,), zeros)],
+                               name="norm2")()
+            fc1, fc2 = MlpParams(c, hidden, trunc_normal_init(), name="mlp")()
+            xc = x if self.dtype is None else x.astype(self.dtype)
+            m = ln_mlp_apply(xc, norm["scale"], norm["bias"],
+                             fc1["kernel"], fc1["bias"],
+                             fc2["kernel"], fc2["bias"],
+                             eps=LN_EPS_TF, training=training).astype(x.dtype)
+        else:
+            m = Mlp(hidden_features=hidden, act=gelu,
+                    drop=self.proj_drop, dtype=self.dtype, name="mlp")(
+                LayerNorm(epsilon=LN_EPS_TF, dtype=self.dtype, name="norm2")(x),
+                deterministic=det)
         return x + dp(m, deterministic=det)
 
 

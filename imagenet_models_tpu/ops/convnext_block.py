@@ -636,3 +636,29 @@ def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
         cpu=functools.partial(plain_convnext_block, eps=eps, gelu_impl=gelu_impl),
         default=functools.partial(fused_convnext_block, eps=eps, gelu_impl=gelu_impl),
     )
+
+
+def use_transformer_lnmlp(drop: float, deterministic: bool) -> bool:
+    """Gate for routing a transformer block's norm2+Mlp pair through the
+    fused LN+MLP Pallas kernel (no dw conv, unit layer-scale). Opt-in
+    (IMTPU_TLNMLP=1) until the full-step A/B is recorded. Dropout inside
+    the MLP would need in-kernel RNG -> module path."""
+    if os.environ.get("IMTPU_TLNMLP", "0") != "1":
+        return False
+    return drop == 0.0 or deterministic
+
+
+def ln_mlp_apply(x, ln_s, ln_b, w1, b1, w2, b2, eps: float,
+                 training: bool = False):
+    """LN -> Dense(hidden) -> GELU -> Dense(C) as one fused Pallas kernel
+    (transformer norm2+Mlp pair; the (tokens, hidden) intermediate never
+    touches HBM). Same numerics contract as convnext_block_apply: fp32 LN
+    statistics, compute-dtype matmuls with fp32 accumulation, exact-erf
+    GELU at eval / fast minimax in training (resolve_gelu_impl)."""
+    gelu_impl = resolve_gelu_impl(training)
+    gamma = jnp.ones((x.shape[-1],), jnp.float32)
+    return jax.lax.platform_dependent(
+        x, ln_s, ln_b, w1, b1, w2, b2, gamma,
+        cpu=functools.partial(plain_ln_mlp, eps=eps, gelu_impl=gelu_impl),
+        default=functools.partial(fused_ln_mlp, eps=eps, gelu_impl=gelu_impl),
+    )
