@@ -13,7 +13,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from imagenet_models_tpu.nn.layers import Dense, DropPath, LayerNorm, Mlp, gelu
+from imagenet_models_tpu.nn.layers import (
+    Dense,
+    DropPath,
+    LayerNorm,
+    Mlp,
+    gelu,
+    trunc_normal_init,
+)
 
 Dtype = Any
 
@@ -65,7 +72,28 @@ class ViTBlock(nn.Module):
                       attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
                       name="attn")(LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic=deterministic)
         x = x + dp(a, deterministic=deterministic)
-        m = Mlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu, drop=self.drop,
-                dtype=self.dtype, name="mlp")(LayerNorm(dtype=self.dtype, name="norm2")(x),
-                                              deterministic=deterministic)
+        hidden = int(self.dim * self.mlp_ratio)
+        from imagenet_models_tpu.ops.convnext_block import (
+            ln_mlp_apply,
+            use_transformer_lnmlp,
+        )
+
+        if use_transformer_lnmlp(self.drop, deterministic):
+            from imagenet_models_tpu.nn.param_holder import MlpParams, ParamHolder
+
+            c = self.dim
+            norm = ParamHolder([("scale", (c,), nn.initializers.ones_init()),
+                                ("bias", (c,), nn.initializers.zeros_init())],
+                               name="norm2")()
+            fc1, fc2 = MlpParams(c, hidden, trunc_normal_init(), name="mlp")()
+            xc = x if self.dtype is None else x.astype(self.dtype)
+            m = ln_mlp_apply(xc, norm["scale"], norm["bias"],
+                             fc1["kernel"], fc1["bias"],
+                             fc2["kernel"], fc2["bias"],
+                             eps=1e-6, training=not deterministic).astype(x.dtype)
+        else:
+            m = Mlp(hidden_features=hidden, act=gelu, drop=self.drop,
+                    dtype=self.dtype, name="mlp")(
+                LayerNorm(dtype=self.dtype, name="norm2")(x),
+                deterministic=deterministic)
         return x + dp(m, deterministic=deterministic)

@@ -652,13 +652,19 @@ def ln_mlp_apply(x, ln_s, ln_b, w1, b1, w2, b2, eps: float,
                  training: bool = False):
     """LN -> Dense(hidden) -> GELU -> Dense(C) as one fused Pallas kernel
     (transformer norm2+Mlp pair; the (tokens, hidden) intermediate never
-    touches HBM). Same numerics contract as convnext_block_apply: fp32 LN
-    statistics, compute-dtype matmuls with fp32 accumulation, exact-erf
-    GELU at eval / fast minimax in training (resolve_gelu_impl)."""
+    touches HBM). Accepts any leading shape (PiT's (B, N, C) token blocks
+    or the 4-D channels-last maps). Same numerics contract as
+    convnext_block_apply: fp32 LN statistics, compute-dtype matmuls with
+    fp32 accumulation, exact-erf GELU at eval / fast minimax in training
+    (resolve_gelu_impl)."""
     gelu_impl = resolve_gelu_impl(training)
     gamma = jnp.ones((x.shape[-1],), jnp.float32)
-    return jax.lax.platform_dependent(
+    shape = x.shape
+    if x.ndim != 4:
+        x = x.reshape(shape[0], -1, 1, shape[-1])
+    out = jax.lax.platform_dependent(
         x, ln_s, ln_b, w1, b1, w2, b2, gamma,
         cpu=functools.partial(plain_ln_mlp, eps=eps, gelu_impl=gelu_impl),
         default=functools.partial(fused_ln_mlp, eps=eps, gelu_impl=gelu_impl),
     )
+    return out.reshape(shape)

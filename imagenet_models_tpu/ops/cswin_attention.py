@@ -336,12 +336,32 @@ class CSWinBlock(nn.Module):
         att = Dense(self.dim, dtype=self.dtype, name="proj")(att)
         dp = DropPath(self.drop_path)
         x = x + dp(att, deterministic=det)
+        hidden = int(self.dim * self.mlp_ratio)
+        from imagenet_models_tpu.ops.convnext_block import (
+            ln_mlp_apply,
+            use_transformer_lnmlp,
+        )
+
+        if self.mlp_groups == 1 and use_transformer_lnmlp(self.drop, det):
+            from imagenet_models_tpu.nn.param_holder import MlpParams, ParamHolder
+
+            norm = ParamHolder([("scale", (self.dim,), nn.initializers.ones_init()),
+                                ("bias", (self.dim,), nn.initializers.zeros_init())],
+                               name="norm2")()
+            fc1, fc2 = MlpParams(self.dim, hidden, trunc_normal_init(),
+                                 name="mlp")()
+            xc = x if self.dtype is None else x.astype(self.dtype)
+            m = ln_mlp_apply(xc, norm["scale"], norm["bias"],
+                             fc1["kernel"], fc1["bias"],
+                             fc2["kernel"], fc2["bias"],
+                             eps=1e-6, training=not det).astype(x.dtype)
+            return x + dp(m, deterministic=det)
         n2 = LayerNorm(dtype=self.dtype, name="norm2")(x)
         if self.mlp_groups == 1:
-            m = Mlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu,
+            m = Mlp(hidden_features=hidden, act=gelu,
                     drop=self.drop, dtype=self.dtype, name="mlp")(n2, deterministic=det)
         else:
-            m = GroupConvMlp(hidden_features=int(self.dim * self.mlp_ratio), act=gelu,
+            m = GroupConvMlp(hidden_features=hidden, act=gelu,
                              drop=self.drop, groups=self.mlp_groups, dtype=self.dtype,
                              name="mlp")(n2, deterministic=det)
         return x + dp(m, deterministic=det)

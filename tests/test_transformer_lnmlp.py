@@ -9,24 +9,38 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from imagenet_models_tpu.models.maxvit import PartitionAttention
+from imagenet_models_tpu.nn.vit import ViTBlock
+from imagenet_models_tpu.ops.cswin_attention import CSWinBlock
 
 
 def _trees(m, x):
+    # all three block classes default to eval mode with no kwargs
     os.environ["IMTPU_TLNMLP"] = "1"
     try:
-        v_fused = m.init(jax.random.PRNGKey(0), x, training=False)
+        v_fused = m.init(jax.random.PRNGKey(0), x)
     finally:
         os.environ.pop("IMTPU_TLNMLP", None)
-    v_plain = m.init(jax.random.PRNGKey(0), x, training=False)
+    v_plain = m.init(jax.random.PRNGKey(0), x)
     return v_fused, v_plain
 
 
-def test_param_tree_and_outputs_match():
-    b, h, w, c = 2, 14, 14, 64
-    x = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (b, h, w, c))
-    m = PartitionAttention(c, "block", (7, 7))
+def _cases():
+    c = 64
+    return [
+        ("maxvit", PartitionAttention(c, "block", (7, 7)),
+         0.5 * jax.random.normal(jax.random.PRNGKey(3), (2, 14, 14, c))),
+        ("pit", ViTBlock(c, num_heads=2),
+         0.5 * jax.random.normal(jax.random.PRNGKey(4), (2, 49, c))),
+        ("cswin", CSWinBlock(c, num_heads=2, split_size=2),
+         0.5 * jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, c))),
+    ]
+
+
+@pytest.mark.parametrize("name,m,x", _cases(), ids=[c[0] for c in _cases()])
+def test_param_tree_and_outputs_match(name, m, x):
     v_fused, v_plain = _trees(m, x)
     pf = jax.tree_util.tree_leaves_with_path(v_fused["params"])
     pp = jax.tree_util.tree_leaves_with_path(v_plain["params"])
@@ -37,7 +51,7 @@ def test_param_tree_and_outputs_match():
         if flag:
             os.environ["IMTPU_TLNMLP"] = "1"
         try:
-            return m.apply(vs, x, training=False)
+            return m.apply(vs, x)
         finally:
             os.environ.pop("IMTPU_TLNMLP", None)
 
