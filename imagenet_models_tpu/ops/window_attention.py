@@ -140,6 +140,15 @@ def use_fused_partition_attn(x_shape, ps, part_type: str, attn_drop: float,
         return False  # A/B attribution knob: fuse block windows only
     if attn_drop > 0 and not deterministic:
         return False
+    if deterministic and mode != "all":
+        # Mode-gated by measurement (map_maxvit_tiny_tf_224 B=128,
+        # 2026-08-21): the kernel wins the TRAIN step 552.5 vs 502.6 img/s
+        # (+9.9% — the bwd relayouts it deletes dominate) but loses the
+        # fwd-only eval 1328.7 vs 1359.2 (-2.2%): eval's partition copies
+        # fuse into the surrounding fwd graph more cheaply than the
+        # kernel's per-window gathers. IMTPU_PART_ATTN=all forces fused in
+        # both modes.
+        return False
     h, w, c = x_shape[1], x_shape[2], x_shape[3]
     if h % ps[0] or w % ps[1] or (h == ps[0] and w == ps[1]):
         return False
