@@ -641,12 +641,13 @@ def convnext_block_apply(x, dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2,
 def use_transformer_lnmlp(drop: float, deterministic: bool) -> bool:
     """Gate for routing a transformer block's norm2+Mlp pair through the
     fused LN+MLP Pallas kernel (no dw conv, unit layer-scale). Kept OPT-IN
-    (IMTPU_TLNMLP=1): the full-step A/B on map_maxvit_tiny_tf_224 (v5e
-    B=128, 2026-08-21) measured 546.9 vs 552.5 img/s — flat-to-slightly-
-    negative on top of the fused partition attention; unlike the ConvNeXt
-    case there are no conv-layout copies for the kernel to reclaim, and
-    XLA's own Dense+GELU+Dense fusion is already tight here. Dropout
-    inside the MLP would need in-kernel RNG -> module path."""
+    (IMTPU_TLNMLP=1): full-step A/Bs (v5e B=128, 2026-08-21) measured
+    flat-to-losing on every transformer family — maxvit 546.9 vs 552.5,
+    ga_cswin 744.6 vs 745.3-750.3, pit 2070.2 vs 2162; unlike the
+    ConvNeXt case there are no conv-layout copies for the kernel to
+    reclaim, and XLA's own Dense+GELU+Dense fusion is already tight
+    here. Dropout inside the MLP would need in-kernel RNG -> module
+    path."""
     if os.environ.get("IMTPU_TLNMLP", "0") != "1":
         return False
     return drop == 0.0 or deterministic
